@@ -1,0 +1,83 @@
+"""Benchmark: training throughput (pixels/s/chip, fwd+bwd+update) on the
+flagship GNGF config (grid id 4061 — the reference README's best run) fitting
+strawberry.jpeg, on whatever accelerator JAX exposes (TPU under axon).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pixels/s/chip", "vs_baseline": N}
+
+vs_baseline compares against the committed bench_baseline.json (the first
+recorded measurement of this repo's pure-JAX implementation — the reference
+publishes no throughput numbers at all, SURVEY.md §6, so this repo establishes
+the baseline and then must beat it as kernels improve).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
+
+
+def main() -> None:
+    import jax
+
+    from collision_handling_in_instantngp_tpu.config import experiment_from_grid_id
+    from collision_handling_in_instantngp_tpu.data import (
+        load_image_dataset,
+        make_shuffle_permutations,
+    )
+    from collision_handling_in_instantngp_tpu.models import gngf
+    from collision_handling_in_instantngp_tpu.train.train_step import (
+        build_epoch_batches,
+        make_epoch_fn,
+    )
+
+    exp = experiment_from_grid_id(4061)
+    data = load_image_dataset(os.path.join(REPO, "images", "strawberry.jpeg"))
+    statics = gngf.make_statics(exp.model)
+    shuffled, _ = make_shuffle_permutations(data.num_pixels, exp.train.seed, True)
+    batches = build_epoch_batches(
+        data.coords, data.targets, exp.train.batch_fraction, shuffled
+    )
+
+    init_state, make_jitted = make_epoch_fn(exp, statics)
+    state, tx = init_state(jax.random.PRNGKey(exp.train.seed))
+    epoch = make_jitted(tx, data.num_pixels)
+
+    # warmup (compile + cache; axon remote execution is async, so force a
+    # device->host transfer — block_until_ready alone does not drain the tunnel)
+    for _ in range(3):
+        state, metrics, _ = epoch(state, batches)
+        float(metrics.loss)
+
+    n_epochs = 20
+    t0 = time.perf_counter()
+    for _ in range(n_epochs):
+        state, metrics, _ = epoch(state, batches)
+    float(metrics.loss)  # forces the whole dependent chain
+    dt = time.perf_counter() - t0
+
+    n_chips = max(len(jax.devices()), 1)
+    pixels_per_s_per_chip = n_epochs * data.num_pixels / dt / n_chips
+
+    baseline = None
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            baseline = json.load(f).get("pixels_per_s_per_chip")
+    vs_baseline = (
+        pixels_per_s_per_chip / baseline if baseline else 1.0
+    )
+
+    print(json.dumps({
+        "metric": "gngf_train_throughput_strawberry_cfg4061",
+        "value": round(pixels_per_s_per_chip, 1),
+        "unit": "pixels/s/chip",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

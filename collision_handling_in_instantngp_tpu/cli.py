@@ -1,0 +1,116 @@
+"""Command-line entry point.
+
+Mirrors the reference CLI (main.py:11-21):
+
+  python -m collision_handling_in_instantngp_tpu.cli \
+      -f strawberry.jpeg -s 4061 -e 4061 [-t] [--should_bw] \
+      [--wandb_entity ... --wandb_project ... --wandb_name ...] \
+      [-hwp HPD.pkl] [-ewp encoding.pkl]
+
+Reference-compatible semantics: ``-e`` is INCLUSIVE (main.py:33 adds 1), images
+load from ``--images_dir`` (default ./images), coords are normalized by
+``max(w,h)-1`` unless the model batch-normalizes its input. ``-ewp`` is
+accepted-but-dead in the reference (models.py:288-289); here it actually loads
+encoding tables (documented divergence — sane semantics).
+
+Extras over the reference: ``--epochs`` override, ``--logger {jsonl,wandb,null}``,
+``--shard-index/--shard-count`` for config-parallel sweeps, ``--manifest`` for
+idempotent resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Run General Neural Gauge Fields (TPU).")
+    p.add_argument("-f", "--filename", type=str, default="strawberry.jpeg",
+                   help="Image file name inside --images_dir.")
+    p.add_argument("--images_dir", type=str, default="images")
+    p.add_argument("--should_bw", action="store_true",
+                   help="Convert the image to black and white.")
+    p.add_argument("-s", "--start_id_param", type=int, default=0,
+                   help="First grid-search config id.")
+    p.add_argument("-e", "--end_id_param", type=int, default=None,
+                   help="Last grid-search config id (inclusive).")
+    p.add_argument("-t", "--is_test", action="store_true",
+                   help="Test mode: no remote logging.")
+    p.add_argument("--epochs", type=int, default=None,
+                   help="Override the 5000-epoch budget.")
+    p.add_argument("--logger", type=str, default="jsonl",
+                   choices=["jsonl", "wandb", "null"])
+    p.add_argument("--wandb_entity", type=str,
+                   default="dl_project_bussola-fasoli-montagna")
+    p.add_argument("--wandb_project", type=str, default="cv_project_final_grid_search")
+    p.add_argument("--wandb_name", type=str, default=None)
+    p.add_argument("-ewp", "--encoding_weights_path", type=str, default=None)
+    p.add_argument("-hwp", "--hpd_weights_path", type=str, default=None)
+    p.add_argument("--manifest", type=str, default="runs/grid_manifest.jsonl")
+    p.add_argument("--shard-index", type=int, default=0)
+    p.add_argument("--shard-count", type=int, default=1)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .config import ModelConfig
+    from .data import load_image_dataset
+    from .train.grid_search import run_grid_search
+    from .utils.logging import make_logger
+
+    image_path = os.path.join(args.images_dir, args.filename)
+    model_cfg = ModelConfig(
+        out_channels=1 if args.should_bw else 3,
+    )
+    data = load_image_dataset(
+        image_path, bw=args.should_bw, normalize=not model_cfg.batchnorm_input
+    )
+    print(f"Image: {image_path} ({data.height}x{data.width}, "
+          f"{data.num_pixels} pixels, {data.channels} channels)")
+
+    end_id = args.end_id_param + 1 if args.end_id_param is not None else None
+    image_name = os.path.splitext(args.filename)[0]
+    stamp = args.wandb_name or time.strftime("%Y%m%d%H%M%S")
+
+    def logger_factory(exp):
+        if args.is_test or args.logger == "null":
+            return make_logger("null")
+        if args.logger == "wandb":
+            return make_logger(
+                "wandb",
+                path=f"runs/{image_name}_{exp.grid_id}.jsonl",
+                wandb_kwargs=dict(
+                    entity=args.wandb_entity,
+                    project=args.wandb_project,
+                    group=image_name,
+                    name=f"{stamp}_{exp.grid_id}",
+                    config=exp.as_flat_dict(),
+                ),
+            )
+        return make_logger("jsonl", path=f"runs/{image_name}_{exp.grid_id}.jsonl")
+
+    results = run_grid_search(
+        data,
+        start_id=args.start_id_param,
+        end_id=end_id,
+        epochs=args.epochs,
+        manifest_path=args.manifest,
+        logger_factory=logger_factory,
+        hpd_weights_path=args.hpd_weights_path,
+        encoding_weights_path=args.encoding_weights_path,
+        shard_index=args.shard_index,
+        shard_count=args.shard_count,
+    )
+    for row in results:
+        print(f"grid {row['grid_id']}: best PSNR {row['best_psnr']:.3f} "
+              f"({row['epochs_run']} epochs)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

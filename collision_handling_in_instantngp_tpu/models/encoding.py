@@ -1,0 +1,81 @@
+"""Multi-resolution hash-table feature encoding.
+
+TPU-native equivalent of reference ``MultiResHashEncoding`` (models.py:126-236).
+The reference keeps L separate ``nn.Embedding(T, F)`` tables and loops a Python
+gather per (level, k); here all levels live in ONE ``(L, T, F)`` array so the
+entire lookup is a single fused gather (and its transpose a single deterministic
+scatter-add in the backward — TPU reductions are deterministic, unlike CUDA
+atomics). The table axis T can be sharded for scaled-table configs (see
+parallel/).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, TopkBlendMode
+
+
+def init_tables(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> jnp.ndarray:
+    """(L, T, F) tables ~ U(-1e-4, 1e-4) (reference models.py:159-171)."""
+    return jax.random.uniform(
+        key,
+        (cfg.num_levels, cfg.hash_table_size, cfg.feature_dim),
+        dtype,
+        minval=-1e-4,
+        maxval=1e-4,
+    )
+
+
+def _flat_gather(tables: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Gather features with per-level indices.
+
+    tables: (L, T, F); indices: (P, L, ...) int -> (P, L, ..., F).
+    Flattens the (L, T) axes so one gather serves every level (the level id is
+    folded into the slot id), replacing the reference's per-level Python loop
+    (models.py:182-207).
+    """
+    l, t, f = tables.shape
+    level_ids = jnp.arange(l, dtype=jnp.int32).reshape(
+        (1, l) + (1,) * (indices.ndim - 2)
+    )
+    flat_idx = indices.astype(jnp.int32) + level_ids * t
+    return jnp.take(tables.reshape(l * t, f), flat_idx, axis=0)
+
+
+def lookup_vanilla(tables: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Spatial-hash path lookup (reference models.py:182-190).
+
+    indices: (P, L, V) -> features (P, L, V, F).
+    """
+    return _flat_gather(tables, indices)
+
+
+def lookup_topk_blend(
+    tables: jnp.ndarray,
+    indices_topk: jnp.ndarray,
+    probs_topk: jnp.ndarray,
+    cfg: ModelConfig,
+) -> jnp.ndarray:
+    """GNGF path: gather the K candidate slots per vertex and blend.
+
+    Args:
+      indices_topk: (P, L, V, K) slot ids.
+      probs_topk:   (P, L, V, K) selected probabilities (carry the straight-
+        through gradient back into the HPD, see ops/topk.py).
+
+    Returns:
+      (P, L, V, F) blended features. Blend modes per reference
+      models.py:212-217 (see config.TopkBlendMode).
+    """
+    feats = _flat_gather(tables, indices_topk)                    # (P, L, V, K, F)
+    if cfg.topk_blend is TopkBlendMode.RAW_SUM:
+        w = probs_topk
+    elif cfg.topk_blend is TopkBlendMode.SOFTMAX_AVG:
+        w = jax.nn.softmax(probs_topk, axis=-1)
+    elif cfg.topk_blend is TopkBlendMode.WEIGHTED_AVG:
+        w = probs_topk / jnp.sum(probs_topk, axis=-1, keepdims=True)
+    else:
+        raise ValueError(cfg.topk_blend)
+    return jnp.sum(feats * w[..., None], axis=-2)

@@ -1,0 +1,205 @@
+"""GeneralNeuralGaugeFields — the composite neural-field model.
+
+TPU-native equivalent of reference ``GeneralNeuralGaugeFields``
+(models.py:239-655). Pipeline (reference forward, models.py:394-484):
+
+  coords (P, d) in [0,1]
+    -> [optional BatchNorm1d, off by default]        (models.py:396-399)
+    -> scale_to_grid: scaled (P,L,d), corners (P,L,V,d)   (models.py:403)
+    -> GNGF: HPD probs + straight-through top-k      (models.py:416-423)
+       | vanilla: XOR-prime fast hash                (models.py:412-414)
+    -> table gather (+ top-k blend on the GNGF path) (models.py:447-455)
+    -> bilinear interpolation -> (P, L*F)            (models.py:461)
+    -> MLP decoder + sigmoid -> (P, 3|1)             (models.py:469-471)
+
+Parameters are one pytree ``{"hpd", "tables", "mlp"[, "batchnorm"]}``; the
+whole forward is pure and jit/pjit-able. Collision statistics are separate
+pure functions (see ops/collisions.py) rather than host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import collisions as coll_ops
+from ..ops.grid import resolution_ladder, scale_to_grid, voxel_corner_offsets
+from ..ops.hashing import fast_hash
+from ..ops.interpolate import bilinear_coeffs, interpolate
+from . import encoding as enc
+from .hpd import apply_hpd, init_hpd
+from .mlp import apply_mlp, init_mlp
+
+BN_EPS = 1e-5       # torch BatchNorm1d defaults (reference models.py:340)
+BN_MOMENTUM = 0.1
+
+
+class GNGFStatics(NamedTuple):
+    """Static (non-trained) geometry constants, kept as numpy so they embed as
+    jit-time constants."""
+
+    n_ls: np.ndarray       # (L,) int32 — reference models.py:311-317
+    offsets: np.ndarray    # (V, d) int32 — reference models.py:321-334
+
+
+class ForwardOut(NamedTuple):
+    rgb: jnp.ndarray                       # (P, out_channels) sigmoid outputs
+    probs: Optional[jnp.ndarray]           # loss probs: (P,L,V,T) full or
+                                           # (P,L,V,K) if keep_topk_only; None on
+                                           # the vanilla path (models.py:475-484)
+    indices: jnp.ndarray                   # (P,L,V,K) GNGF | (P,L,V) vanilla
+    topk_values: Optional[jnp.ndarray]     # (P,L,V,K) | None
+    corners: jnp.ndarray                   # (P,L,V,d) grid-vertex coords
+    bn_state: Optional[dict]               # updated running stats, if batchnorm
+
+
+def make_statics(cfg: ModelConfig) -> GNGFStatics:
+    return GNGFStatics(
+        n_ls=resolution_ladder(cfg.n_min, cfg.n_max, cfg.num_levels),
+        offsets=voxel_corner_offsets(cfg.input_dim),
+    )
+
+
+def init_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> dict:
+    """Build the full parameter pytree. Split order is fixed so a given seed
+    always produces the same model (reference seeds torch globally with 65535,
+    functions.py:43-47)."""
+    k_hpd, k_tab, k_mlp = jax.random.split(key, 3)
+    params = {
+        "tables": enc.init_tables(k_tab, cfg, dtype),
+        "mlp": init_mlp(
+            k_mlp,
+            (cfg.encoded_dim, *cfg.mlp_hidden, cfg.out_channels),
+            dtype,
+        ),
+    }
+    if not cfg.use_hash_function:
+        params["hpd"] = init_hpd(k_hpd, cfg, dtype)
+    if cfg.batchnorm_input:
+        params["batchnorm"] = {
+            "scale": jnp.ones((cfg.input_dim,), dtype),
+            "bias": jnp.zeros((cfg.input_dim,), dtype),
+        }
+    return params
+
+
+def init_bn_state(cfg: ModelConfig, dtype=jnp.float32) -> Optional[dict]:
+    if not cfg.batchnorm_input:
+        return None
+    return {
+        "mean": jnp.zeros((cfg.input_dim,), dtype),
+        "var": jnp.ones((cfg.input_dim,), dtype),
+    }
+
+
+def _batchnorm(
+    params: dict, state: dict, x: jnp.ndarray, train: bool
+) -> Tuple[jnp.ndarray, dict]:
+    """Training-mode BatchNorm1d over (P, d) (reference models.py:340, 396-399)."""
+    if train:
+        mean = jnp.mean(x, axis=0)
+        var = jnp.var(x, axis=0)
+        n = x.shape[0]
+        unbiased = var * n / max(n - 1, 1)
+        new_state = {
+            "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x - mean) * jax.lax.rsqrt(var + BN_EPS)
+    return y * params["scale"] + params["bias"], new_state
+
+
+def forward(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: ModelConfig,
+    statics: GNGFStatics,
+    bn_state: Optional[dict] = None,
+    train: bool = True,
+) -> ForwardOut:
+    """Full model forward (reference models.py:394-484)."""
+    n_ls = jnp.asarray(statics.n_ls)
+    offsets = jnp.asarray(statics.offsets)
+
+    new_bn_state = bn_state
+    if cfg.batchnorm_input:
+        x, new_bn_state = _batchnorm(params["batchnorm"], bn_state, x, train)
+
+    scaled, corners = scale_to_grid(x, n_ls, offsets)
+    # geometry is data, not a differentiation path (reference @torch.no_grad,
+    # models.py:486); stop_gradient keeps autodiff from tracing through it
+    scaled = jax.lax.stop_gradient(scaled)
+    corners = jax.lax.stop_gradient(corners)
+
+    if cfg.use_hash_function:
+        indices = fast_hash(corners, cfg.hash_table_size)          # (P,L,V)
+        feats = enc.lookup_vanilla(params["tables"], indices)      # (P,L,V,F)
+        probs, topk_values, topk_indices = None, None, None
+    else:
+        probs, topk_values, topk_indices = apply_hpd(params["hpd"], corners, cfg)
+        feats = enc.lookup_topk_blend(
+            params["tables"], topk_indices, topk_values, cfg
+        )
+        indices = topk_indices
+
+    coeffs = bilinear_coeffs(scaled, offsets)
+    h = interpolate(feats, coeffs)                                 # (P, L*F)
+
+    rgb = apply_mlp(
+        params["mlp"],
+        h,
+        hidden_activation=cfg.hidden_activation.value,
+        final_activation="sigmoid",
+        precision=cfg.matmul_precision,
+    )
+
+    if cfg.use_hash_function:
+        loss_probs = None
+    else:
+        loss_probs = topk_values if cfg.keep_topk_only else probs
+
+    return ForwardOut(
+        rgb=rgb,
+        probs=loss_probs,
+        indices=indices,
+        topk_values=topk_values,
+        corners=corners,
+        bn_state=new_bn_state,
+    )
+
+
+# ----------------------------- statistics ---------------------------------- #
+
+def calc_hash_collisions(
+    indices: jnp.ndarray, cfg: ModelConfig, statics: GNGFStatics
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(collisions, min_possible_collisions), both (L,) — reference
+    models.py:568-619, fully on device."""
+    n_ls = jnp.asarray(statics.n_ls)
+    if cfg.use_hash_function:
+        coll = coll_ops.hash_collisions_vanilla(indices, n_ls, cfg.hash_table_size)
+    else:
+        coll = coll_ops.hash_collisions_gngf(indices, n_ls, cfg.hash_table_size)
+    min_poss = coll_ops.min_possible_collisions(n_ls, cfg.hash_table_size).astype(
+        jnp.float32
+    )
+    return coll, min_poss
+
+
+def calc_counts_per_level(
+    indices: jnp.ndarray, corners: jnp.ndarray, cfg: ModelConfig, statics: GNGFStatics
+) -> jnp.ndarray:
+    """(L, T) slot-usage counts over unique grid cells — device-side analog of
+    reference `_calc_counts_per_level` (models.py:530-566). GNGF callers pass
+    the best (k=0) candidate ids like the reference (models.py:432-435)."""
+    best = indices[..., 0] if not cfg.use_hash_function else indices
+    return coll_ops.unique_cell_slot_counts(
+        best, corners, jnp.asarray(statics.n_ls), cfg.hash_table_size
+    )

@@ -1,0 +1,88 @@
+"""Device-mesh construction and sharding specs.
+
+The reference is single-process/single-GPU (functions.py:49-52); here
+parallelism is mesh-first (SURVEY.md §2.4):
+
+  * ``data`` axis — DP over the pixel axis: minibatch rows are sharded, model
+    params replicated, gradient psums inserted by GSPMD and overlapped with the
+    backward by XLA's latency-hiding scheduler.
+  * ``model`` axis — optional TP over the hash-table SLOT axis (T) for
+    scaled-table configs (BASELINE.json config 4): each device holds T/mp rows
+    of every level's table; gathers/scatter-adds become collective-assisted.
+
+Multi-host: ``jax.distributed.initialize()`` first (see initialize_distributed)
+— then `jax.devices()` spans the pod slice and the same mesh code works
+unchanged, with DCN-crossing collectives handled by the compiler.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host init (idempotent). On a single host this is a no-op."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    model_parallel: int = 1,
+) -> Mesh:
+    """2-D (data, model) mesh over the given devices (default: all)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the pixel rows of (num_batches, B, ...) arrays over the data axis."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def pixel_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard flat (P, ...) arrays over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def table_sharding(mesh: Mesh, shard_tables: bool) -> NamedSharding:
+    """(L, T, F) tables: optionally shard the slot axis T over the model axis."""
+    return NamedSharding(mesh, P(None, MODEL_AXIS, None) if shard_tables else P())
+
+
+def shard_state_and_batches(state, batches, mesh: Mesh, shard_tables: bool = False):
+    """Place a TrainState (params replicated, tables optionally slot-sharded)
+    and EpochBatches (pixels data-sharded) onto the mesh."""
+    rep = replicated(mesh)
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+    if shard_tables:
+        params = dict(state.params)
+        params["tables"] = jax.device_put(
+            params["tables"], table_sharding(mesh, True)
+        )
+        state = state._replace(params=params)
+
+    bsh = batch_sharding(mesh)
+    sharded_batches = type(batches)(
+        x=jax.device_put(batches.x, bsh),
+        y=jax.device_put(batches.y, bsh),
+        scatter_idx=jax.device_put(batches.scatter_idx, pixel_sharding(mesh)),
+    )
+    return state, sharded_batches

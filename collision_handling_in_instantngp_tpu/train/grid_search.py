@@ -1,0 +1,120 @@
+"""Grid-search driver: sequential or config-parallel sweep over the 48,000
+reference configurations.
+
+TPU-native equivalent of reference ``grid_search_loop`` (functions.py:477-818)
+with two upgrades the reference lacks:
+
+  * a completion MANIFEST (JSONL) making sweeps idempotently resumable — the
+    reference's only resume mechanism is manually re-passing ``-s/-e`` id
+    ranges after a crash (main.py:14-15);
+  * config-parallel sharding: in a multi-host TPU job every process owns the id
+    slice ``ids[process_index::process_count]`` (BASELINE.json config 5); the
+    same mechanism serves single-host "shard 3 of 8" splits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+from ..config import (
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+    experiment_from_grid_id,
+    get_grid_search_configs,
+)
+from ..data import ImageData
+from ..utils.logging import MetricLogger, NullLogger
+from .trainer import FitResult, fit
+
+
+def load_manifest(path: str) -> Dict[int, Dict[str, Any]]:
+    done: Dict[int, Dict[str, Any]] = {}
+    if path and os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    row = json.loads(line)
+                    done[int(row["grid_id"])] = row
+    return done
+
+
+def append_manifest(path: str, row: Dict[str, Any]) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def run_grid_search(
+    data: ImageData,
+    start_id: int = 0,
+    end_id: Optional[int] = None,
+    *,
+    base_model: Optional[ModelConfig] = None,
+    base_train: Optional[TrainConfig] = None,
+    epochs: Optional[int] = None,
+    manifest_path: Optional[str] = "runs/grid_manifest.jsonl",
+    logger_factory: Optional[Callable[[ExperimentConfig], MetricLogger]] = None,
+    hpd_weights_path: Optional[str] = None,
+    encoding_weights_path: Optional[str] = None,
+    shard_index: int = 0,
+    shard_count: int = 1,
+    verbose: bool = True,
+) -> List[Dict[str, Any]]:
+    """Sweep configs [start_id, end_id] (inclusive start, exclusive end like the
+    reference's slice at functions.py:503). Returns one summary row per config
+    run by THIS shard."""
+    grid = get_grid_search_configs()
+    end_id = len(grid) if end_id is None else end_id
+    if not (0 <= start_id <= len(grid)) or end_id > len(grid):
+        raise ValueError(
+            f"grid id range [{start_id}, {end_id}) out of bounds — "
+            f"the filtered grid has {len(grid)} configs (ids 0..{len(grid)-1})"
+        )
+    ids: Sequence[int] = range(start_id, end_id)
+    ids = [i for i in ids][shard_index::shard_count]
+
+    done = load_manifest(manifest_path) if manifest_path else {}
+    results: List[Dict[str, Any]] = []
+
+    for grid_id in ids:
+        if grid_id in done:
+            if verbose:
+                print(f"grid {grid_id}: already complete (manifest), skipping")
+            results.append(done[grid_id])
+            continue
+        exp = experiment_from_grid_id(
+            grid_id, base_model=base_model, base_train=base_train, grid=grid
+        )
+        if verbose:
+            print(f"Grid search params: {grid_id}")
+            print(grid[grid_id])
+        logger = logger_factory(exp) if logger_factory else NullLogger()
+        result: FitResult = fit(
+            exp,
+            data,
+            logger=logger,
+            hpd_weights_path=hpd_weights_path,
+            encoding_weights_path=encoding_weights_path,
+            epochs=epochs,
+            collect_history=False,
+            verbose=verbose,
+        )
+        row = {
+            "grid_id": grid_id,
+            "image": data.name,
+            "best_psnr": result.best_psnr,
+            "final_psnr": result.final_psnr,
+            "final_loss": result.final_loss,
+            "epochs_run": result.epochs_run,
+            "stopped_early": result.stopped_early,
+            "zero_collision_abort": result.zero_collision_abort,
+            "run_dir": result.run_dir,
+        }
+        if manifest_path:
+            append_manifest(manifest_path, row)
+        results.append(row)
+    return results

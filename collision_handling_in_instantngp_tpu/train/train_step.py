@@ -1,0 +1,221 @@
+"""The jitted training epoch.
+
+TPU-native re-design of reference ``train_step`` (functions.py:139-355). The
+reference runs a Python loop over minibatches with per-batch host sync
+(``.item()``, ``.detach().cpu()``); here ONE jitted call executes the whole
+epoch — a ``lax.scan`` over statically-shaped minibatches performing forward,
+loss, backward, and the three-group Adam update — then assembles the full-image
+prediction and the collision statistics on device. The host touches only the
+final scalar metrics.
+
+Batching follows the reference (functions.py:166, 183-194): the pixel set is
+split into ``ceil(1/batch_fraction)`` fixed slices of a FIXED shuffle
+permutation (built once, never re-shuffled). If the pixel count is not
+divisible by the batch count, the tail batch is padded with the first pixels of
+the permutation (the reference silently drops the remainder instead —
+functions.py:187; divisible sizes, like all three reference images, match
+exactly).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ExperimentConfig
+from ..models import gngf
+from ..ops import collisions as coll_ops
+from .loss import compute_loss
+from .optimizer import make_optimizer
+
+
+class EpochBatches(NamedTuple):
+    """Device-resident, pre-sliced epoch inputs (built once per run).
+
+    ``num_pixels`` (the un-padded P) is NOT carried here — it is a static
+    closure argument of the jitted epoch (see make_epoch_fn/make_jitted) so it
+    never becomes a tracer."""
+
+    x: jnp.ndarray            # (num_batches, B, d)
+    y: jnp.ndarray            # (num_batches, B, C)
+    scatter_idx: jnp.ndarray  # (num_batches * B,) pixel index of each row
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: Any
+    bn_state: Optional[dict]
+    prev_collisions: jnp.ndarray      # (L,) float32 — feeds next epoch's loss
+    prev_min_possible: jnp.ndarray    # (L,) float32 (constant after epoch 0)
+
+
+class EpochMetrics(NamedTuple):
+    loss: jnp.ndarray                 # scalar, mean over batches (functions.py:288)
+    mse: jnp.ndarray                  # scalar, mean over batches
+    js_kl_per_level: jnp.ndarray      # (L,) mean over batches
+    coll_loss_per_level: jnp.ndarray  # (L,) mean over batches
+    collisions: jnp.ndarray           # (L,) this epoch's collision counts
+    min_possible: jnp.ndarray         # (L,)
+    image: jnp.ndarray                # (P, C) full-image prediction, pixel order
+
+
+def build_epoch_batches(
+    coords: np.ndarray,
+    targets: np.ndarray,
+    batch_fraction: float,
+    shuffled_indices: np.ndarray,
+) -> EpochBatches:
+    """Slice the (fixed) shuffled pixel stream into static minibatches."""
+    p = coords.shape[0]
+    num_batches = int(np.ceil(1.0 / batch_fraction))
+    b = int(np.ceil(p / num_batches))
+    pad = num_batches * b - p
+    perm = np.concatenate([shuffled_indices, shuffled_indices[:pad]])
+    x = coords[perm].reshape(num_batches, b, -1)
+    y = targets[perm].reshape(num_batches, b, -1)
+    return EpochBatches(
+        x=jnp.asarray(x),
+        y=jnp.asarray(y),
+        scatter_idx=jnp.asarray(perm.astype(np.int32)),
+    )
+
+
+def make_epoch_fn(
+    exp: ExperimentConfig,
+    statics: gngf.GNGFStatics,
+    freeze_hpd: bool = False,
+):
+    """Build (init_state_fn, jitted epoch_fn, optimizer).
+
+    epoch_fn(state, batches) -> (state', metrics, indices_all) where
+    indices_all is (P_padded, L, V[, K]) int32 — the epoch's selected slots,
+    kept on device for histogram epochs.
+    """
+    mcfg, lcfg = exp.model, exp.loss
+    tx = None  # created lazily against a params tree in init_state
+
+    def loss_fn(params, bn_state, bx, by, prev_coll, prev_min):
+        out = gngf.forward(params, bx, mcfg, statics, bn_state=bn_state, train=True)
+        aux = compute_loss(
+            out.rgb, by, out.probs, prev_coll, prev_min, lcfg, mcfg.num_levels
+        )
+        return aux.total, (aux, out)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def epoch_fn(state: TrainState, batches: EpochBatches, num_pixels, tx_update):
+        def body(carry, batch):
+            params, opt_state, bn_state = carry
+            bx, by = batch
+            (_, (aux, out)), grads = grad_fn(
+                params, bn_state, bx, by,
+                state.prev_collisions, state.prev_min_possible,
+            )
+            updates, opt_state = tx_update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            scan_out = (
+                out.rgb,
+                out.indices,
+                aux.total,
+                aux.mse,
+                aux.js_kl_per_level,
+                aux.coll_per_level,
+            )
+            return (params, opt_state, out.bn_state), scan_out
+
+        (params, opt_state, bn_state), outs = jax.lax.scan(
+            body, (state.params, state.opt_state, state.bn_state),
+            (batches.x, batches.y),
+        )
+        rgb_all, idx_all, losses, mses, js_kls, coll_losses = outs
+
+        nb, b = rgb_all.shape[0], rgb_all.shape[1]
+        image = (
+            jnp.zeros((num_pixels, rgb_all.shape[-1]), rgb_all.dtype)
+            .at[batches.scatter_idx]
+            .set(rgb_all.reshape(nb * b, -1))
+        )
+        indices_all = idx_all.reshape((nb * b,) + idx_all.shape[2:])
+
+        collisions, min_possible = gngf.calc_hash_collisions(
+            indices_all, mcfg, statics
+        )
+
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            bn_state=bn_state,
+            prev_collisions=collisions,
+            prev_min_possible=min_possible,
+        )
+        metrics = EpochMetrics(
+            loss=jnp.mean(losses),
+            mse=jnp.mean(mses),
+            js_kl_per_level=jnp.mean(js_kls, axis=0),
+            coll_loss_per_level=jnp.mean(coll_losses, axis=0),
+            collisions=collisions,
+            min_possible=min_possible,
+            image=image,
+        )
+        return new_state, metrics, indices_all
+
+    def init_state(key: jax.Array) -> Tuple[TrainState, optax.GradientTransformation]:
+        params = gngf.init_params(key, mcfg)
+        nonlocal tx
+        tx = make_optimizer(exp.optimizer, params, freeze_hpd=freeze_hpd)
+        opt_state = tx.init(params)
+        l = mcfg.num_levels
+        min_poss = coll_ops.min_possible_collisions(
+            jnp.asarray(statics.n_ls), mcfg.hash_table_size
+        ).astype(jnp.float32)
+        state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            bn_state=gngf.init_bn_state(mcfg),
+            prev_collisions=jnp.zeros((l,), jnp.float32),
+            prev_min_possible=min_poss,
+        )
+        return state, tx
+
+    def make_jitted(tx: optax.GradientTransformation, num_pixels: int):
+        return jax.jit(
+            functools.partial(epoch_fn, num_pixels=num_pixels, tx_update=tx.update)
+        )
+
+    return init_state, make_jitted
+
+
+def make_stats_fn(exp: ExperimentConfig, statics: gngf.GNGFStatics):
+    """Jitted histogram statistics for histogram epochs (reference
+    functions.py:318-325 `indices_per_level` and models.py:530-566
+    counts-per-level — both device-side here).
+
+    stats_fn(indices_all, coords) ->
+      (slot_counts (L, T), unique_cell_counts (L, T))
+    """
+    mcfg = exp.model
+
+    @jax.jit
+    def stats_fn(indices_all: jnp.ndarray, coords: jnp.ndarray):
+        counts = coll_ops.slot_counts(indices_all, mcfg.hash_table_size)
+        from ..ops.grid import scale_to_grid
+
+        _, corners = scale_to_grid(
+            coords, jnp.asarray(statics.n_ls), jnp.asarray(statics.offsets)
+        )
+        best = indices_all[..., 0] if not mcfg.use_hash_function else indices_all
+        # indices_all rows follow the shuffled order; cell dedup is order-
+        # independent so corners must follow the same pixel stream — callers
+        # pass the matching coords array. n_ls stays numpy (static cell-table
+        # size inside unique_cell_slot_counts).
+        cell_counts = coll_ops.unique_cell_slot_counts(
+            best[: corners.shape[0]], corners, statics.n_ls, mcfg.hash_table_size
+        )
+        return counts, cell_counts
+
+    return stats_fn

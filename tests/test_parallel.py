@@ -1,0 +1,87 @@
+"""Sharding tests on the fake 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8): DP-invariance of the training epoch
+and slot-sharded tables (TP) execution."""
+
+import numpy as np
+import jax
+import pytest
+
+from collision_handling_in_instantngp_tpu.config import experiment_from_grid_id
+from collision_handling_in_instantngp_tpu.models import gngf
+from collision_handling_in_instantngp_tpu.parallel.mesh import (
+    make_mesh,
+    shard_state_and_batches,
+)
+from collision_handling_in_instantngp_tpu.train.train_step import (
+    build_epoch_batches,
+    make_epoch_fn,
+)
+
+
+def _tiny_problem(rng, h=8, w=6):
+    img = rng.random((h * w, 3), dtype=np.float32)
+    coords = (
+        np.stack(np.meshgrid(np.arange(h), np.arange(w), indexing="ij"), -1)
+        .reshape(-1, 2)
+        .astype(np.float32)
+        / (max(h, w) - 1)
+    )
+    perm = rng.permutation(h * w).astype(np.int32)
+    return coords, img, perm, h * w
+
+
+@pytest.fixture(scope="module")
+def exp():
+    return experiment_from_grid_id(4061)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_invariance(rng, exp):
+    """Sharding pixels over 8 devices must produce the same loss trajectory as
+    single-device execution (within fp32 reduction tolerance)."""
+    statics = gngf.make_statics(exp.model)
+    coords, img, perm, p = _tiny_problem(rng)
+    batches = build_epoch_batches(coords, img, 1 / 3, perm)
+
+    init_state, make_jitted = make_epoch_fn(exp, statics)
+    state, tx = init_state(jax.random.PRNGKey(65535))
+    epoch = make_jitted(tx, p)
+
+    # single device
+    s1 = jax.tree_util.tree_map(lambda x: x, state)
+    losses_1dev = []
+    for _ in range(3):
+        s1, m, _ = epoch(s1, batches)
+        losses_1dev.append(float(m.loss))
+
+    # 8-device mesh
+    mesh = make_mesh()
+    s8, b8 = shard_state_and_batches(state, batches, mesh)
+    losses_8dev = []
+    for _ in range(3):
+        s8, m, _ = epoch(s8, b8)
+        losses_8dev.append(float(m.loss))
+
+    np.testing.assert_allclose(losses_8dev, losses_1dev, rtol=2e-5)
+
+
+def test_table_tp_runs(rng, exp):
+    """Slot-sharded tables (model axis) execute and stay close to the
+    replicated result."""
+    statics = gngf.make_statics(exp.model)
+    coords, img, perm, p = _tiny_problem(rng)
+    batches = build_epoch_batches(coords, img, 1 / 3, perm)
+
+    init_state, make_jitted = make_epoch_fn(exp, statics)
+    state, tx = init_state(jax.random.PRNGKey(65535))
+    epoch = make_jitted(tx, p)
+
+    mesh = make_mesh(model_parallel=2)
+    s, b = shard_state_and_batches(state, batches, mesh, shard_tables=True)
+    s, m, _ = epoch(s, b)
+    assert np.isfinite(float(m.loss))
+    # tables keep their sharding through the optimizer update
+    assert s.params["tables"].shape == state.params["tables"].shape
