@@ -52,11 +52,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--manifest", type=str, default="runs/grid_manifest.jsonl")
     p.add_argument("--shard-index", type=int, default=0)
     p.add_argument("--shard-count", type=int, default=1)
+    p.add_argument("--platform", type=str, default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="Force the JAX platform (the environment may pin a "
+                        "TPU plugin; 'cpu' overrides it in-process).")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from .config import ModelConfig
     from .data import load_image_dataset

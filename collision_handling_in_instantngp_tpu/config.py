@@ -81,6 +81,13 @@ class ModelConfig:
     # MXU matmul precision: "highest" = true fp32 (reference-parity; torch
     # trains in fp32), "default" = fast bf16-multiply/fp32-accumulate passes.
     matmul_precision: str = "highest"
+    # Fused HPD tail (ops/fused_hpd.py): stream softmax+topk+marginal over row
+    # chunks instead of materializing the dense (P, L, V, T) probs tensor.
+    # False = dense reference path (the parity oracle).
+    fused_hpd: bool = True
+    # Fused-tail backend: "auto" (Pallas kernel on TPU for small K, streaming
+    # lax.scan otherwise), "jax", "pallas", "pallas_interpret".
+    hpd_backend: str = "auto"
 
     @property
     def num_corners(self) -> int:
@@ -149,6 +156,13 @@ class TrainConfig:
     save_params: bool = True               # params.py:2
     zero_collision_abort: bool = True      # functions.py:682-688
     checkpoint_dir: str = "weights"
+    # Min seconds between checkpoint WRITES. The reference writes 5 files on
+    # every new-best-PSNR epoch (functions.py:761-781) — early training
+    # improves every epoch, so that is a disk write per epoch. Best-PSNR
+    # semantics are preserved exactly (the best params are kept on device and
+    # always flushed at run end); only write frequency is throttled. 0 =
+    # reference behavior.
+    checkpoint_min_interval_s: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,7 +31,7 @@ from ..ops.grid import resolution_ladder, scale_to_grid, voxel_corner_offsets
 from ..ops.hashing import fast_hash
 from ..ops.interpolate import bilinear_coeffs, interpolate
 from . import encoding as enc
-from .hpd import apply_hpd, init_hpd
+from .hpd import apply_hpd, apply_hpd_fused, init_hpd
 from .mlp import apply_mlp, init_mlp
 
 BN_EPS = 1e-5       # torch BatchNorm1d defaults (reference models.py:340)
@@ -48,9 +48,13 @@ class GNGFStatics(NamedTuple):
 
 class ForwardOut(NamedTuple):
     rgb: jnp.ndarray                       # (P, out_channels) sigmoid outputs
-    probs: Optional[jnp.ndarray]           # loss probs: (P,L,V,T) full or
+    probs: Optional[jnp.ndarray]           # dense loss probs: (P,L,V,T) full or
                                            # (P,L,V,K) if keep_topk_only; None on
                                            # the vanilla path (models.py:475-484)
+                                           # and on the fused path
+    marginal: Optional[jnp.ndarray]        # (L, T) per-level marginal slot
+                                           # distribution (fused path; the only
+                                           # thing the JS/KL loss needs)
     indices: jnp.ndarray                   # (P,L,V,K) GNGF | (P,L,V) vanilla
     topk_values: Optional[jnp.ndarray]     # (P,L,V,K) | None
     corners: jnp.ndarray                   # (P,L,V,d) grid-vertex coords
@@ -138,12 +142,21 @@ def forward(
     scaled = jax.lax.stop_gradient(scaled)
     corners = jax.lax.stop_gradient(corners)
 
+    marginal = None
     if cfg.use_hash_function:
         indices = fast_hash(corners, cfg.hash_table_size)          # (P,L,V)
         feats = enc.lookup_vanilla(params["tables"], indices)      # (P,L,V,F)
         probs, topk_values, topk_indices = None, None, None
     else:
-        probs, topk_values, topk_indices = apply_hpd(params["hpd"], corners, cfg)
+        if cfg.fused_hpd:
+            marginal, topk_values, topk_indices = apply_hpd_fused(
+                params["hpd"], corners, cfg
+            )
+            probs = None
+        else:
+            probs, topk_values, topk_indices = apply_hpd(
+                params["hpd"], corners, cfg
+            )
         feats = enc.lookup_topk_blend(
             params["tables"], topk_indices, topk_values, cfg
         )
@@ -163,11 +176,16 @@ def forward(
     if cfg.use_hash_function:
         loss_probs = None
     else:
+        # keep_topk_only: the loss marginalizes the (small) top-k values
+        # instead of the full distribution (reference models.py:475-484) —
+        # identical on the fused and dense paths
         loss_probs = topk_values if cfg.keep_topk_only else probs
+    loss_marginal = marginal if not cfg.keep_topk_only else None
 
     return ForwardOut(
         rgb=rgb,
         probs=loss_probs,
+        marginal=loss_marginal,
         indices=indices,
         topk_values=topk_values,
         corners=corners,

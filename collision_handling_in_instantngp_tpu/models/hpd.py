@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig, TopkScatterMode
+from ..ops.fused_hpd import hpd_tail
 from ..ops.topk import differentiable_topk, differentiable_topk_noop_grad
 from .mlp import MLPParams, apply_mlp, init_mlp
 
@@ -54,3 +55,41 @@ def apply_hpd(
     else:
         values, indices = differentiable_topk(probs, cfg.topk_k, cfg.hash_table_size)
     return probs, values, indices
+
+
+def apply_hpd_fused(
+    params: MLPParams, vertices: jnp.ndarray, cfg: ModelConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Memory-fused HPD: same math as :func:`apply_hpd` + the loss marginal,
+    but the dense (P, L, V, T) probs tensor never reaches HBM (see
+    ops/fused_hpd.py). The straight-through top-k backward is built into the
+    fused op's VJP.
+
+    Returns:
+      marginal:    (L, T) per-level marginal slot distribution (what the
+                   JS/KL loss consumes, reference utils.py:138).
+      topk_values: (P, L, V, K);  topk_indices: (P, L, V, K) int32.
+    """
+    p, l, v, d = vertices.shape
+    # level-major rows so each level's marginal accumulates contiguously
+    rows = jnp.transpose(vertices, (1, 0, 2, 3)).reshape(l, p * v, d)
+    h = rows
+    for layer in params[:-1]:
+        h = jax.nn.relu(
+            jnp.matmul(h, layer["w"], precision=cfg.matmul_precision)
+            + layer["b"]
+        )
+    backend = cfg.hpd_backend
+    if backend == "auto":
+        # the iterative-argmax Pallas top-k degrades for very wide K; the
+        # streaming jax backend covers those (grid axis topk_k reaches 128)
+        on_accel = jax.devices()[0].platform != "cpu"
+        backend = "pallas" if (on_accel and cfg.topk_k <= 32) else "jax"
+    marginal, vals, idx = hpd_tail(
+        h, params[-1]["w"], params[-1]["b"], cfg.topk_k, cfg.matmul_precision,
+        backend,
+    )
+    k = cfg.topk_k
+    values = jnp.transpose(vals.reshape(l, p, v, k), (1, 0, 2, 3))
+    indices = jnp.transpose(idx.reshape(l, p, v, k), (1, 0, 2, 3))
+    return marginal, values, indices

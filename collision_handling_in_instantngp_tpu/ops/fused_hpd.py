@@ -1,0 +1,203 @@
+"""Fused HPD tail: last linear layer + softmax + straight-through top-k +
+loss-marginal accumulation, WITHOUT materializing the dense (P, L, V, T)
+probability tensor in HBM.
+
+This is the defining memory/bandwidth optimization of the TPU rebuild
+(SURVEY.md §2.2: the dense probs are ~940 MB fp32 per reference minibatch and
+forced the reference into 1/3-image batches with ~70 manual ``del`` calls).
+The training loss only ever consumes the MARGINAL slot distribution
+``m_l = sum_{rows} p / (P*V)`` (reference utils.py:138,159), and the feature
+blend only consumes the top-k values/indices — so the dense tensor is a pure
+intermediate. This op streams over row chunks, emitting:
+
+    marginal  (L, T)    — per-level marginal of softmax probabilities
+    topk_vals (L, N, K) — top-k probabilities per row (descending)
+    topk_idx  (L, N, K) — their slot ids
+
+with the exact backward of the reference composition (softmax VJP of
+[marginal-broadcast gradient + straight-through top-k scatter], reference
+models.py:5-42 + utils.py:122-174):
+
+    dL/dp_row   = g_marginal[l] / (P*V)  +  scatter(g_topk_row at idx_row)
+    dL/dlogits  = p * (dL/dp - <dL/dp, p>)
+    dL/dh       = dL/dlogits @ W^T ;  dW = h^T @ dL/dlogits ;  db = sum rows
+
+Residuals: only ``h`` (the (L, N, H) last hidden activations) and the top-k
+indices — the backward recomputes each chunk's softmax on the fly.
+
+Backends:
+  * "jax"    — lax.scan over row chunks (runs everywhere; the oracle)
+  * "pallas" — TPU kernel (ops/pallas/hpd_tail.py) with the same contract
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+CHUNK_ROWS = 4096
+
+
+def _pad_rows(h: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, int]:
+    n = h.shape[1]
+    pad = (-n) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+    return h, n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def hpd_tail(
+    h: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    k: int,
+    precision: str,
+    backend: str = "jax",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Streaming fused tail.
+
+    Args:
+      h: (L, N, H) last hidden activations, rows ordered level-major
+         (N = P * V rows per level).
+      w: (H, T) final-layer weight;  b: (T,) bias.
+      k: top-k width (static).
+      precision: matmul precision for the (R, H) @ (H, T) tiles.
+      backend: "jax" (lax.scan streaming — runs everywhere),
+               "pallas" (TPU kernel), "pallas_interpret" (kernel under the
+               Pallas interpreter — CPU testing).
+
+    Returns:
+      marginal (L, T) float32, topk_vals (L, N, K), topk_idx (L, N, K) int32.
+    """
+    out, _ = _fwd_impl(h, w, b, k, precision, backend)
+    return out
+
+
+def _chunked(h: jnp.ndarray, chunk: int):
+    l, n_pad, hd = h.shape
+    c = n_pad // chunk
+    # (L, C, R, H) -> (C, L, R, H) so scan carries one chunk of every level
+    return jnp.moveaxis(h.reshape(l, c, chunk, hd), 1, 0)
+
+
+def _fwd_impl(h, w, b, k, precision, backend="jax"):
+    if backend.startswith("pallas"):
+        from .pallas.hpd_tail import hpd_tail_pallas_fwd
+
+        out = hpd_tail_pallas_fwd(
+            h, w, b, k, interpret=(backend == "pallas_interpret")
+        )
+        return out, None
+    l, n, hd = h.shape
+    t = w.shape[1]
+    h_pad, n_valid = _pad_rows(h, CHUNK_ROWS)
+    chunks = _chunked(h_pad, CHUNK_ROWS)              # (C, L, R, H)
+    c = chunks.shape[0]
+
+    def body(marg, xs):
+        chunk_id, h_chunk = xs
+        logits = jnp.matmul(h_chunk, w, precision=precision) + b   # (L, R, T)
+        p = jnp.nan_to_num(jax.nn.softmax(logits, axis=-1))
+        row_ids = chunk_id * CHUNK_ROWS + jax.lax.broadcasted_iota(
+            jnp.int32, (1, CHUNK_ROWS, 1), 1
+        )
+        valid = (row_ids < n_valid).astype(p.dtype)                # (1, R, 1)
+        marg = marg + jnp.sum(p * valid, axis=1)                   # (L, T)
+        vals, idx = jax.lax.top_k(p, k)                            # (L, R, K)
+        return marg, (vals, idx.astype(jnp.int32))
+
+    marg0 = jnp.zeros((l, t), jnp.float32)
+    marg, (vals, idx) = jax.lax.scan(
+        body, marg0, (jnp.arange(c, dtype=jnp.int32), chunks)
+    )
+    # (C, L, R, K) -> (L, N, K)
+    vals = jnp.moveaxis(vals, 0, 1).reshape(l, c * CHUNK_ROWS, k)[:, :n]
+    idx = jnp.moveaxis(idx, 0, 1).reshape(l, c * CHUNK_ROWS, k)[:, :n]
+    denom = jnp.asarray(n, jnp.float32)
+    return (marg / denom, vals, idx), None
+
+
+def _hpd_tail_fwd(h, w, b, k, precision, backend="jax"):
+    out, _ = _fwd_impl(h, w, b, k, precision, backend)
+    _, _, idx = out
+    return out, (h, w, b, idx)
+
+
+def _hpd_tail_bwd(k, precision, backend, residuals, cotangents):
+    h, w, b, idx = residuals
+    g_marg, g_vals, _g_idx = cotangents
+    if backend.startswith("pallas"):
+        from .pallas.hpd_tail import hpd_tail_pallas_bwd
+
+        return hpd_tail_pallas_bwd(
+            h, w, b, idx, g_marg, g_vals, k,
+            interpret=(backend == "pallas_interpret"),
+        )
+    l, n, hd = h.shape
+    t = w.shape[1]
+
+    h_pad, n_valid = _pad_rows(h, CHUNK_ROWS)
+    chunks = _chunked(h_pad, CHUNK_ROWS)
+    c = chunks.shape[0]
+
+    pad = c * CHUNK_ROWS - n
+    if pad:
+        g_vals = jnp.pad(g_vals, ((0, 0), (0, pad), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
+    g_vals_chunks = _chunked(g_vals, CHUNK_ROWS)      # (C, L, R, K)
+    idx_chunks = _chunked(idx, CHUNK_ROWS)
+
+    # d marginal / d p already includes the 1/N that the primal applied
+    g_marg_row = (g_marg / n)[:, None, :]             # (L, 1, T)
+
+    def body(carry, xs):
+        dw, db = carry
+        chunk_id, h_chunk, gv_chunk, idx_chunk = xs
+        logits = jnp.matmul(h_chunk, w, precision=precision) + b
+        p = jnp.nan_to_num(jax.nn.softmax(logits, axis=-1))        # (L, R, T)
+        row_ids = chunk_id * CHUNK_ROWS + jax.lax.broadcasted_iota(
+            jnp.int32, (1, CHUNK_ROWS, 1), 1
+        )
+        valid = (row_ids < n_valid).astype(p.dtype)
+        g_p = jnp.put_along_axis(
+            jnp.zeros_like(p), idx_chunk, gv_chunk.astype(p.dtype),
+            axis=-1, inplace=False,
+        )
+        g_p = (g_p + g_marg_row) * valid
+        # softmax vjp (nan_to_num is identity for finite p)
+        dlogits = p * (g_p - jnp.sum(g_p * p, axis=-1, keepdims=True))
+        dh_chunk = jnp.matmul(dlogits, w.T, precision=precision)
+        dw = dw + jnp.einsum(
+            "lrh,lrt->ht", h_chunk, dlogits, precision=precision
+        )
+        db = db + jnp.sum(dlogits, axis=(0, 1))
+        return (dw, db), dh_chunk
+
+    (dw, db), dh_chunks = jax.lax.scan(
+        body,
+        (jnp.zeros((hd, t), h.dtype), jnp.zeros((t,), h.dtype)),
+        (
+            jnp.arange(c, dtype=jnp.int32),
+            chunks,
+            g_vals_chunks,
+            idx_chunks,
+        ),
+    )
+    dh = jnp.moveaxis(dh_chunks, 0, 1).reshape(l, c * CHUNK_ROWS, hd)[:, :n]
+    return dh, dw, db
+
+
+hpd_tail.defvjp(_hpd_tail_fwd, _hpd_tail_bwd)
+
+
+def hpd_tail_dense_reference(h, w, b, k, precision="highest"):
+    """Unfused oracle: materializes the dense probs (for tests only)."""
+    logits = jnp.matmul(h, w, precision=precision) + b
+    p = jnp.nan_to_num(jax.nn.softmax(logits, axis=-1))
+    marginal = jnp.mean(p, axis=1)
+    vals, idx = jax.lax.top_k(p, k)
+    return marginal, vals, idx.astype(jnp.int32)

@@ -80,9 +80,11 @@ def shard_state_and_batches(state, batches, mesh: Mesh, shard_tables: bool = Fal
         state = state._replace(params=params)
 
     bsh = batch_sharding(mesh)
+    psh = pixel_sharding(mesh)
     sharded_batches = type(batches)(
         x=jax.device_put(batches.x, bsh),
         y=jax.device_put(batches.y, bsh),
-        scatter_idx=jax.device_put(batches.scatter_idx, pixel_sharding(mesh)),
+        scatter_idx=jax.device_put(batches.scatter_idx, psh),
+        og_image=jax.device_put(batches.og_image, psh),
     )
     return state, sharded_batches

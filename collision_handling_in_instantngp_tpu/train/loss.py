@@ -78,22 +78,26 @@ def compute_loss(
     prev_min_possible: jnp.ndarray,
     cfg: LossConfig,
     num_levels: int,
+    marginals: Optional[jnp.ndarray] = None,
 ) -> LossAux:
     """Full training loss for one batch (reference utils.py:91-120 +
     functions.py:243-245).
 
     Args:
       pred/target: (P, C) in [0, 1].
-      probs: (P, L, V, N) loss probabilities (N=T, or K under keep_topk_only),
-        or None on the vanilla-hash path (loss reduces to MSE,
-        utils.py:103-104).
+      probs: dense (P, L, V, N) loss probabilities (N=T, or K under
+        keep_topk_only), or None on the vanilla-hash path (loss reduces to
+        MSE, utils.py:103-104) and on the fused path.
+      marginals: pre-reduced (L, N) marginal distributions (the fused HPD
+        path emits these directly, ops/fused_hpd.py) — mutually exclusive
+        with ``probs``.
       prev_collisions / prev_min_possible: (L,) previous-epoch collision stats
         (constants; pass zeros for epoch 0 — the reference adds a constant 1
         instead, functions.py:245, which shifts the loss value by L without
         touching gradients; we use the sane zero form and document it).
     """
     mse = jnp.mean((pred - target) ** 2)
-    if probs is None:
+    if probs is None and marginals is None:
         zeros = jnp.zeros((num_levels,), dtype=mse.dtype)
         return LossAux(
             total=cfg.l_mse * mse, mse=mse, js_kl_per_level=zeros,
@@ -101,12 +105,15 @@ def compute_loss(
         )
 
     coll = prev_collisions / (prev_min_possible + cfg.delta)      # (L,) no grad
-    num_levels = probs.shape[1]
+    if marginals is None:
+        num_levels = probs.shape[1]
+        marginals = jnp.stack(
+            [marginal_slot_distribution(probs[:, l]) for l in range(num_levels)]
+        )
+    else:
+        num_levels = marginals.shape[0]
     js_kls = jnp.stack(
-        [
-            js_kl_divergence(marginal_slot_distribution(probs[:, l]), cfg)
-            for l in range(num_levels)
-        ]
+        [js_kl_divergence(marginals[l], cfg) for l in range(num_levels)]
     )
     total = cfg.l_mse * mse + jnp.sum(
         cfg.l_js_kl * js_kls + cfg.l_collisions * coll

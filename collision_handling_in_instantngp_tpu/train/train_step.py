@@ -44,6 +44,10 @@ class EpochBatches(NamedTuple):
     x: jnp.ndarray            # (num_batches, B, d)
     y: jnp.ndarray            # (num_batches, B, C)
     scatter_idx: jnp.ndarray  # (num_batches * B,) pixel index of each row
+    og_image: jnp.ndarray     # (P, C) int32 original image, pixel order —
+                              # lets PSNR/accuracy run on device (the reference
+                              # ships the full image to the host every epoch,
+                              # functions.py:332-335 + 690-694)
 
 
 class TrainState(NamedTuple):
@@ -62,6 +66,11 @@ class EpochMetrics(NamedTuple):
     collisions: jnp.ndarray           # (L,) this epoch's collision counts
     min_possible: jnp.ndarray         # (L,)
     image: jnp.ndarray                # (P, C) full-image prediction, pixel order
+    int_sq_err: jnp.ndarray           # scalar: mean squared error of the
+                                      # uint8-truncated image vs the original
+                                      # (feeds PSNR, reference functions.py:134)
+    match_count: jnp.ndarray          # scalar int: exactly-equal values
+                                      # (feeds accuracy, functions.py:130)
 
 
 def build_epoch_batches(
@@ -69,8 +78,12 @@ def build_epoch_batches(
     targets: np.ndarray,
     batch_fraction: float,
     shuffled_indices: np.ndarray,
+    og_image: Optional[np.ndarray] = None,
 ) -> EpochBatches:
-    """Slice the (fixed) shuffled pixel stream into static minibatches."""
+    """Slice the (fixed) shuffled pixel stream into static minibatches.
+
+    og_image: (P, C) or (h, w[, C]) integer original image for on-device
+    PSNR/accuracy; defaults to round-tripping ``targets * 255``."""
     p = coords.shape[0]
     num_batches = int(np.ceil(1.0 / batch_fraction))
     b = int(np.ceil(p / num_batches))
@@ -78,10 +91,15 @@ def build_epoch_batches(
     perm = np.concatenate([shuffled_indices, shuffled_indices[:pad]])
     x = coords[perm].reshape(num_batches, b, -1)
     y = targets[perm].reshape(num_batches, b, -1)
+    if og_image is None:
+        og = np.rint(targets * 255).astype(np.int32)
+    else:
+        og = og_image.reshape(p, -1).astype(np.int32)
     return EpochBatches(
         x=jnp.asarray(x),
         y=jnp.asarray(y),
         scatter_idx=jnp.asarray(perm.astype(np.int32)),
+        og_image=jnp.asarray(og),
     )
 
 
@@ -102,7 +120,8 @@ def make_epoch_fn(
     def loss_fn(params, bn_state, bx, by, prev_coll, prev_min):
         out = gngf.forward(params, bx, mcfg, statics, bn_state=bn_state, train=True)
         aux = compute_loss(
-            out.rgb, by, out.probs, prev_coll, prev_min, lcfg, mcfg.num_levels
+            out.rgb, by, out.probs, prev_coll, prev_min, lcfg, mcfg.num_levels,
+            marginals=out.marginal,
         )
         return aux.total, (aux, out)
 
@@ -146,6 +165,13 @@ def make_epoch_fn(
             indices_all, mcfg, statics
         )
 
+        # device-side image metrics (uint8 truncation like the reference's
+        # `(output*255).int()`, functions.py:332-335)
+        pred_int = (image * 255).astype(jnp.int32)
+        diff = (pred_int - batches.og_image).astype(jnp.float32)
+        int_sq_err = jnp.mean(diff * diff)
+        match_count = jnp.sum(pred_int == batches.og_image)
+
         new_state = TrainState(
             params=params,
             opt_state=opt_state,
@@ -161,6 +187,8 @@ def make_epoch_fn(
             collisions=collisions,
             min_possible=min_possible,
             image=image,
+            int_sq_err=int_sq_err,
+            match_count=match_count,
         )
         return new_state, metrics, indices_all
 

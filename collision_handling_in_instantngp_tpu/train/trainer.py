@@ -26,7 +26,7 @@ from ..data import ImageData, make_shuffle_permutations
 from ..models import gngf
 from ..utils import checkpoint as ckpt
 from ..utils.logging import MetricLogger, NullLogger
-from ..utils.metrics import calc_accuracy, calc_psnr, to_uint8_image
+from ..utils.metrics import to_uint8_image
 from .early_stopping import EarlyStopping
 from .train_step import (
     EpochBatches,
@@ -73,7 +73,8 @@ def fit(
         data.num_pixels, tcfg.seed, tcfg.shuffle_pixels
     )
     batches = build_epoch_batches(
-        data.coords, data.targets, tcfg.batch_fraction, shuffled
+        data.coords, data.targets, tcfg.batch_fraction, shuffled,
+        og_image=data.image,
     )
 
     freeze_hpd = hpd_weights_path is not None
@@ -100,13 +101,17 @@ def fit(
         run_dir = os.path.join(tcfg.checkpoint_dir, f"{rid}_{stamp}")
 
     best_psnr = 0.0
+    best_snapshot = None               # (params, opt_state) device handles
+    last_ckpt_write = 0.0
     history: List[Dict[str, float]] = []
     check_last2: List[bool] = []
     zero_coll_abort = False
     epochs_run = 0
-    last_img = None
+    last_metrics = None
     train_loss = float("nan")
     train_psnr = float("nan")
+    og_max = float(np.max(data.image))
+    values_per_img = data.num_pixels * data.channels
 
     for e in range(epochs):
         should_counts = (
@@ -115,16 +120,31 @@ def fit(
         )
 
         state, metrics, indices_all = epoch_fn(state, batches)
+        last_metrics = metrics
 
-        train_loss = float(metrics.loss)
-        collisions = np.asarray(metrics.collisions)
-        min_possible = np.asarray(metrics.min_possible)
-        img01 = np.asarray(metrics.image)
-        last_img = to_uint8_image(img01, data.height, data.width, data.channels)
-        train_psnr = calc_psnr(last_img, data.image)
-        train_accuracy = calc_accuracy(
-            last_img, data.image, data.num_pixels * data.channels
+        # ONE host transfer for all scalar metrics (each device_get is a
+        # round-trip; the reference pays ~10 per epoch, functions.py:247-267)
+        (
+            train_loss, train_mse, js_kl, coll_loss, collisions, min_possible,
+            int_sq_err, match_count,
+        ) = (
+            np.asarray(v)
+            for v in jax.device_get(
+                (
+                    metrics.loss, metrics.mse, metrics.js_kl_per_level,
+                    metrics.coll_loss_per_level, metrics.collisions,
+                    metrics.min_possible, metrics.int_sq_err,
+                    metrics.match_count,
+                )
+            )
         )
+        train_loss = float(train_loss)
+        # reference PSNR/accuracy formulas (functions.py:130-136) on the
+        # device-computed integer-image statistics
+        train_psnr = float(
+            20 * np.log10(og_max) - 10 * np.log10(max(int_sq_err, 1e-12))
+        )
+        train_accuracy = float(match_count) / values_per_img * 100.0
         epochs_run = e + 1
 
         # zero-collision abort: last two levels collision-free for the first
@@ -141,11 +161,9 @@ def fit(
             "train_loss": train_loss,
             "train_accuracy": train_accuracy,
             "train_psnr": train_psnr,
-            "mse_loss": float(metrics.mse),
+            "mse_loss": float(train_mse),
         }
         if not mcfg.use_hash_function:
-            js_kl = np.asarray(metrics.js_kl_per_level)
-            coll_loss = np.asarray(metrics.coll_loss_per_level)
             for l in range(mcfg.num_levels):
                 log[f"kl_div_loss_level{l}"] = float(js_kl[l])
                 log[f"collisions_loss_level{l}"] = float(coll_loss[l])
@@ -169,10 +187,15 @@ def fit(
                 {k: v for k, v in log.items() if isinstance(v, (int, float))}
             )
 
-        if train_psnr >= best_psnr and tcfg.save_params and run_dir is not None:
+        if train_psnr >= best_psnr:
             best_psnr = train_psnr
-            ckpt.save_run_checkpoint(run_dir, state.params, state.opt_state)
-        best_psnr = max(best_psnr, train_psnr)
+            if tcfg.save_params and run_dir is not None:
+                # keep the best state on device; throttle disk writes
+                best_snapshot = (state.params, state.opt_state)
+                now = time.monotonic()
+                if now - last_ckpt_write >= tcfg.checkpoint_min_interval_s:
+                    ckpt.save_run_checkpoint(run_dir, *best_snapshot)
+                    last_ckpt_write = now
 
         if early_stopper.early_stop:
             if verbose and not zero_coll_abort:
@@ -181,7 +204,18 @@ def fit(
         if e != 0:
             early_stopper(train_loss)
 
+    if best_snapshot is not None and run_dir is not None:
+        ckpt.save_run_checkpoint(run_dir, *best_snapshot)  # flush final best
+
     logger.finish()
+    # the full-image prediction is fetched from device ONCE here (the
+    # reference ships it every epoch, functions.py:332-335)
+    final_img = None
+    if last_metrics is not None:
+        final_img = to_uint8_image(
+            np.asarray(last_metrics.image), data.height, data.width,
+            data.channels,
+        )
     return FitResult(
         best_psnr=best_psnr,
         final_psnr=train_psnr,
@@ -191,6 +225,6 @@ def fit(
         zero_collision_abort=zero_coll_abort,
         state=state,
         history=history,
-        final_image=last_img,
+        final_image=final_img,
         run_dir=run_dir,
     )

@@ -31,6 +31,7 @@ CFG = ModelConfig(
     mlp_hidden=(16, 16),
     hpd_hidden=(8, 16),
     topk_k=3,
+    fused_hpd=False,  # dense path — the direct analog of the torch oracle
 )
 LCFG = LossConfig(gamma=-2.0, epsilon=1.0, l_mse=1.0, l_js_kl=1.0,
                   l_collisions=1e-3)
