@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import ModelConfig
+from ..config import ModelConfig, TopkScatterMode
 from ..ops import collisions as coll_ops
 from ..ops.grid import resolution_ladder, scale_to_grid, voxel_corner_offsets
 from ..ops.hashing import fast_hash
@@ -148,7 +148,11 @@ def forward(
         feats = enc.lookup_vanilla(params["tables"], indices)      # (P,L,V,F)
         probs, topk_values, topk_indices = None, None, None
     else:
-        if cfg.fused_hpd:
+        # the NOOP straight-through quirk (reference models.py:31) zeroes the
+        # top-k backward; the fused op implements the standard scatter, so
+        # that parity-quirk config routes to the dense path
+        use_fused = cfg.fused_hpd and cfg.topk_scatter is not TopkScatterMode.NOOP
+        if use_fused:
             marginal, topk_values, topk_indices = apply_hpd_fused(
                 params["hpd"], corners, cfg
             )
