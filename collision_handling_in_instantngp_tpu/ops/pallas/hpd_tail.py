@@ -49,6 +49,10 @@ def _softmax_tile(logits: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fwd_kernel(h_ref, w_ref, b_ref, marg_ref, vals_ref, idx_ref, *, k, n_valid):
+    # marg_ref holds the FULL (L, T) array (a (1, T) row block would violate
+    # the TPU sublane-divisibility rule for L not divisible by 8); each grid
+    # step updates its level's row with a dynamic-index store
+    li = pl.program_id(0)
     c = pl.program_id(1)
     r, t = h_ref.shape[1], w_ref.shape[1]
     logits = (
@@ -69,15 +73,15 @@ def _fwd_kernel(h_ref, w_ref, b_ref, marg_ref, vals_ref, idx_ref, *, k, n_valid)
 
     row_ids = c * r + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
     masked = jnp.where(row_ids < n_valid, p, 0.0)
-    contrib = jnp.sum(masked, axis=0)                   # (T,)
+    contrib = jnp.sum(masked, axis=0, keepdims=True)    # (1, T)
 
     @pl.when(c == 0)
     def _():
-        marg_ref[0, :] = contrib
+        marg_ref[pl.ds(li, 1), :] = contrib
 
     @pl.when(c != 0)
     def _():
-        marg_ref[0, :] = marg_ref[0, :] + contrib
+        marg_ref[pl.ds(li, 1), :] = marg_ref[pl.ds(li, 1), :] + contrib
 
 
 def hpd_tail_pallas_fwd(
@@ -104,7 +108,7 @@ def hpd_tail_pallas_fwd(
             pl.BlockSpec((1, t), lambda li, ci: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, t), lambda li, ci: (li, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, t), lambda li, ci: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, BLOCK_ROWS, k), lambda li, ci: (li, ci, 0),
                 memory_space=pltpu.VMEM,
@@ -140,9 +144,10 @@ def _bwd_kernel(
     row_ids = c * r + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
     valid = (row_ids < n_valid).astype(jnp.float32)      # (R, 1)
 
-    # dL/dp: marginal broadcast (already /N upstream) + top-k scatter
+    # dL/dp: marginal broadcast (already /N upstream) + top-k scatter;
+    # gmarg_ref holds the full (L, T) array (sublane rule), dynamic row read
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (r, t), 1)
-    g_p = jnp.broadcast_to(gmarg_ref[0, :], (r, t))
+    g_p = jnp.broadcast_to(gmarg_ref[pl.ds(li, 1), :], (r, t))
     for kk in range(k):
         g_p = g_p + jnp.where(
             col_ids == idx_ref[0, :, kk][:, None],
@@ -214,7 +219,7 @@ def hpd_tail_pallas_bwd(
                 (1, BLOCK_ROWS, k), lambda li, ci: (li, ci, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, t), lambda li, ci: (li, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, t), lambda li, ci: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
