@@ -11,6 +11,8 @@ publishes no throughput numbers at all, SURVEY.md §6, so this repo establishes
 the baseline and then must beat it as kernels improve).
 """
 
+import argparse
+import dataclasses
 import json
 import os
 import time
@@ -22,9 +24,24 @@ BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--mode", default="gngf",
+        choices=["gngf", "gngf-dense", "vanilla", "scaled"],
+        help="gngf: flagship fused cfg-4061 (the headline, default); "
+             "gngf-dense: unfused oracle path; vanilla: spatial-hash path "
+             "(BASELINE config 1); scaled: InstantNGP-scale tables "
+             "(BASELINE config 4).",
+    )
+    ap.add_argument("--epochs", type=int, default=20)
+    args = ap.parse_args()
+
     import jax
 
-    from collision_handling_in_instantngp_tpu.config import experiment_from_grid_id
+    from collision_handling_in_instantngp_tpu.config import (
+        experiment_from_grid_id,
+        instantngp_scaled_model,
+    )
     from collision_handling_in_instantngp_tpu.data import (
         load_image_dataset,
         make_shuffle_permutations,
@@ -36,6 +53,16 @@ def main() -> None:
     )
 
     exp = experiment_from_grid_id(4061)
+    if args.mode == "gngf-dense":
+        exp = dataclasses.replace(
+            exp, model=dataclasses.replace(exp.model, fused_hpd=False)
+        )
+    elif args.mode == "vanilla":
+        exp = dataclasses.replace(
+            exp, model=dataclasses.replace(exp.model, use_hash_function=True)
+        )
+    elif args.mode == "scaled":
+        exp = dataclasses.replace(exp, model=instantngp_scaled_model())
     data = load_image_dataset(os.path.join(REPO, "images", "strawberry.jpeg"))
     statics = gngf.make_statics(exp.model)
     shuffled, _ = make_shuffle_permutations(data.num_pixels, exp.train.seed, True)
@@ -53,7 +80,7 @@ def main() -> None:
         state, metrics, _ = epoch(state, batches)
         float(metrics.loss)
 
-    n_epochs = 20
+    n_epochs = args.epochs
     t0 = time.perf_counter()
     for _ in range(n_epochs):
         state, metrics, _ = epoch(state, batches)
@@ -63,16 +90,23 @@ def main() -> None:
     n_chips = max(len(jax.devices()), 1)
     pixels_per_s_per_chip = n_epochs * data.num_pixels / dt / n_chips
 
+    # vs_baseline is only meaningful for the headline metric
     baseline = None
-    if os.path.exists(BASELINE_PATH):
+    if args.mode == "gngf" and os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             baseline = json.load(f).get("pixels_per_s_per_chip")
     vs_baseline = (
         pixels_per_s_per_chip / baseline if baseline else 1.0
     )
 
+    metric_names = {
+        "gngf": "gngf_train_throughput_strawberry_cfg4061",
+        "gngf-dense": "gngf_dense_train_throughput_strawberry_cfg4061",
+        "vanilla": "vanilla_hash_train_throughput_strawberry",
+        "scaled": "scaled_T16k_L16_train_throughput_strawberry",
+    }
     print(json.dumps({
-        "metric": "gngf_train_throughput_strawberry_cfg4061",
+        "metric": metric_names[args.mode],
         "value": round(pixels_per_s_per_chip, 1),
         "unit": "pixels/s/chip",
         "vs_baseline": round(vs_baseline, 4),

@@ -100,6 +100,21 @@ class ModelConfig:
         return self.num_levels * self.feature_dim
 
 
+def instantngp_scaled_model(**overrides) -> "ModelConfig":
+    """InstantNGP-paper-scale preset (BASELINE.json config 4: scaled hash
+    table stressing gather/scatter and HBM footprint): T=2^14, 16 levels,
+    resolutions 16..512. The reference exposes these via params.py:26-31."""
+    base = dict(
+        hash_table_size=2**14,
+        num_levels=16,
+        n_min=16,
+        n_max=512,
+        feature_dim=2,
+    )
+    base.update(overrides)
+    return ModelConfig(**base)
+
+
 @dataclasses.dataclass(frozen=True)
 class LossConfig:
     """Loss hyper-parameters (reference utils.py:78-127, functions.py:532-535).

@@ -81,10 +81,15 @@ def apply_hpd_fused(
         )
     backend = cfg.hpd_backend
     if backend == "auto":
-        # the iterative-argmax Pallas top-k degrades for very wide K; the
-        # streaming jax backend covers those (grid axis topk_k reaches 128)
+        # the iterative-argmax Pallas top-k degrades for very wide K (grid
+        # axis reaches 128) and the single-tile kernel caps the table width
+        # by VMEM (R*T fp32 tiles); the streaming jax backend covers the rest
         on_accel = jax.devices()[0].platform != "cpu"
-        backend = "pallas" if (on_accel and cfg.topk_k <= 32) else "jax"
+        backend = (
+            "pallas"
+            if (on_accel and cfg.topk_k <= 32 and cfg.hash_table_size <= 2048)
+            else "jax"
+        )
     marginal, vals, idx = hpd_tail(
         h, params[-1]["w"], params[-1]["b"], cfg.topk_k, cfg.matmul_precision,
         backend,

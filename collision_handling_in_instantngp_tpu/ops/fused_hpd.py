@@ -39,6 +39,14 @@ import jax
 import jax.numpy as jnp
 
 CHUNK_ROWS = 4096
+# target elements per streamed (L, R, T) tile — bounds peak memory for
+# scaled-table configs (BASELINE.json config 4: T up to 2^14+)
+_TILE_BUDGET = 1 << 24
+
+
+def _chunk_rows(num_levels: int, t: int) -> int:
+    rows = _TILE_BUDGET // max(num_levels * t, 1)
+    return int(max(256, min(CHUNK_ROWS, rows)))
 
 
 def _pad_rows(h: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, int]:
@@ -94,16 +102,17 @@ def _fwd_impl(h, w, b, k, precision, backend="jax"):
         return out, None
     l, n, hd = h.shape
     t = w.shape[1]
-    h_pad, n_valid = _pad_rows(h, CHUNK_ROWS)
-    chunks = _chunked(h_pad, CHUNK_ROWS)              # (C, L, R, H)
+    chunk_rows = _chunk_rows(l, t)
+    h_pad, n_valid = _pad_rows(h, chunk_rows)
+    chunks = _chunked(h_pad, chunk_rows)              # (C, L, R, H)
     c = chunks.shape[0]
 
     def body(marg, xs):
         chunk_id, h_chunk = xs
         logits = jnp.matmul(h_chunk, w, precision=precision) + b   # (L, R, T)
         p = jnp.nan_to_num(jax.nn.softmax(logits, axis=-1))
-        row_ids = chunk_id * CHUNK_ROWS + jax.lax.broadcasted_iota(
-            jnp.int32, (1, CHUNK_ROWS, 1), 1
+        row_ids = chunk_id * chunk_rows + jax.lax.broadcasted_iota(
+            jnp.int32, (1, chunk_rows, 1), 1
         )
         valid = (row_ids < n_valid).astype(p.dtype)                # (1, R, 1)
         marg = marg + jnp.sum(p * valid, axis=1)                   # (L, T)
@@ -115,8 +124,8 @@ def _fwd_impl(h, w, b, k, precision, backend="jax"):
         body, marg0, (jnp.arange(c, dtype=jnp.int32), chunks)
     )
     # (C, L, R, K) -> (L, N, K)
-    vals = jnp.moveaxis(vals, 0, 1).reshape(l, c * CHUNK_ROWS, k)[:, :n]
-    idx = jnp.moveaxis(idx, 0, 1).reshape(l, c * CHUNK_ROWS, k)[:, :n]
+    vals = jnp.moveaxis(vals, 0, 1).reshape(l, c * chunk_rows, k)[:, :n]
+    idx = jnp.moveaxis(idx, 0, 1).reshape(l, c * chunk_rows, k)[:, :n]
     denom = jnp.asarray(n, jnp.float32)
     return (marg / denom, vals, idx), None
 
@@ -139,17 +148,18 @@ def _hpd_tail_bwd(k, precision, backend, residuals, cotangents):
         )
     l, n, hd = h.shape
     t = w.shape[1]
+    chunk_rows = _chunk_rows(l, t)
 
-    h_pad, n_valid = _pad_rows(h, CHUNK_ROWS)
-    chunks = _chunked(h_pad, CHUNK_ROWS)
+    h_pad, n_valid = _pad_rows(h, chunk_rows)
+    chunks = _chunked(h_pad, chunk_rows)
     c = chunks.shape[0]
 
-    pad = c * CHUNK_ROWS - n
+    pad = c * chunk_rows - n
     if pad:
         g_vals = jnp.pad(g_vals, ((0, 0), (0, pad), (0, 0)))
         idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
-    g_vals_chunks = _chunked(g_vals, CHUNK_ROWS)      # (C, L, R, K)
-    idx_chunks = _chunked(idx, CHUNK_ROWS)
+    g_vals_chunks = _chunked(g_vals, chunk_rows)      # (C, L, R, K)
+    idx_chunks = _chunked(idx, chunk_rows)
 
     # d marginal / d p already includes the 1/N that the primal applied
     g_marg_row = (g_marg / n)[:, None, :]             # (L, 1, T)
@@ -159,8 +169,8 @@ def _hpd_tail_bwd(k, precision, backend, residuals, cotangents):
         chunk_id, h_chunk, gv_chunk, idx_chunk = xs
         logits = jnp.matmul(h_chunk, w, precision=precision) + b
         p = jnp.nan_to_num(jax.nn.softmax(logits, axis=-1))        # (L, R, T)
-        row_ids = chunk_id * CHUNK_ROWS + jax.lax.broadcasted_iota(
-            jnp.int32, (1, CHUNK_ROWS, 1), 1
+        row_ids = chunk_id * chunk_rows + jax.lax.broadcasted_iota(
+            jnp.int32, (1, chunk_rows, 1), 1
         )
         valid = (row_ids < n_valid).astype(p.dtype)
         g_p = jnp.put_along_axis(
@@ -187,7 +197,7 @@ def _hpd_tail_bwd(k, precision, backend, residuals, cotangents):
             idx_chunks,
         ),
     )
-    dh = jnp.moveaxis(dh_chunks, 0, 1).reshape(l, c * CHUNK_ROWS, hd)[:, :n]
+    dh = jnp.moveaxis(dh_chunks, 0, 1).reshape(l, c * chunk_rows, hd)[:, :n]
     return dh, dw, db
 
 
