@@ -73,27 +73,39 @@ def apply_hpd_fused(
     p, l, v, d = vertices.shape
     # level-major rows so each level's marginal accumulates contiguously
     rows = jnp.transpose(vertices, (1, 0, 2, 3)).reshape(l, p * v, d)
-    h = rows
-    for layer in params[:-1]:
-        h = jax.nn.relu(
-            jnp.matmul(h, layer["w"], precision=cfg.matmul_precision)
-            + layer["b"]
-        )
     backend = cfg.hpd_backend
     if backend == "auto":
         # the iterative-argmax Pallas top-k degrades for very wide K (grid
-        # axis reaches 128) and the single-tile kernel caps the table width
+        # axis reaches 128) and the single-tile kernels cap the table width
         # by VMEM (R*T fp32 tiles); the streaming jax backend covers the rest
         on_accel = jax.devices()[0].platform != "cpu"
         backend = (
-            "pallas"
+            "pallas_full"
             if (on_accel and cfg.topk_k <= 32 and cfg.hash_table_size <= 2048)
             else "jax"
         )
-    marginal, vals, idx = hpd_tail(
-        h, params[-1]["w"], params[-1]["b"], cfg.topk_k, cfg.matmul_precision,
-        backend,
-    )
+
+    if backend.startswith("pallas_full"):
+        # whole index network in one kernel — only the (L, N, d) vertices and
+        # the (L, N, K) outputs touch HBM (ops/pallas/hpd_full.py)
+        from ..ops.pallas.hpd_full import hpd_full
+
+        layers = tuple((lay["w"], lay["b"]) for lay in params)
+        marginal, vals, idx = hpd_full(
+            rows, layers, cfg.topk_k,
+            backend == "pallas_full_interpret",
+        )
+    else:
+        h = rows
+        for layer in params[:-1]:
+            h = jax.nn.relu(
+                jnp.matmul(h, layer["w"], precision=cfg.matmul_precision)
+                + layer["b"]
+            )
+        marginal, vals, idx = hpd_tail(
+            h, params[-1]["w"], params[-1]["b"], cfg.topk_k,
+            cfg.matmul_precision, backend,
+        )
     k = cfg.topk_k
     values = jnp.transpose(vals.reshape(l, p, v, k), (1, 0, 2, 3))
     indices = jnp.transpose(idx.reshape(l, p, v, k), (1, 0, 2, 3))
