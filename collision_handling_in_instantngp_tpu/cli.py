@@ -50,8 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-ewp", "--encoding_weights_path", type=str, default=None)
     p.add_argument("-hwp", "--hpd_weights_path", type=str, default=None)
     p.add_argument("--manifest", type=str, default="runs/grid_manifest.jsonl")
-    p.add_argument("--shard-index", type=int, default=0)
-    p.add_argument("--shard-count", type=int, default=1)
+    p.add_argument("--shard-index", type=int, default=0,
+                   help="-1 = auto-shard by jax.process_index (multi-host).")
+    p.add_argument("--shard-count", type=int, default=1,
+                   help="-1 = auto (jax.process_count).")
     p.add_argument("--platform", type=str, default="auto",
                    choices=["auto", "cpu", "tpu"],
                    help="Force the JAX platform (the environment may pin a "
@@ -112,12 +114,40 @@ def main(argv=None) -> int:
         logger_factory=logger_factory,
         hpd_weights_path=args.hpd_weights_path,
         encoding_weights_path=args.encoding_weights_path,
-        shard_index=args.shard_index,
-        shard_count=args.shard_count,
+        shard_index=None if args.shard_index < 0 else args.shard_index,
+        shard_count=None if args.shard_count < 0 else args.shard_count,
     )
     for row in results:
         print(f"grid {row['grid_id']}: best PSNR {row['best_psnr']:.3f} "
               f"({row['epochs_run']} epochs)")
+
+    if args.is_test and results:
+        # reference test mode shows original-vs-output panels
+        # (functions.py:705-713); headless hosts get a saved figure instead
+        from .config import experiment_from_grid_id
+        from .models import gngf
+        from .render import render_image
+        from .utils.checkpoint import load_pytree
+        from .utils.visualize import save_comparison
+
+        last = results[-1]
+        if last.get("run_dir"):
+            import numpy as np
+            import jax.numpy as jnp
+            import jax
+
+            exp = experiment_from_grid_id(last["grid_id"])
+            params = load_pytree(
+                os.path.join(last["run_dir"], "whole_model.pkl")
+            )
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+            recon = render_image(
+                params, exp.model, height=data.height, width=data.width
+            )
+            out_path = f"runs/{image_name}_{last['grid_id']}_comparison.png"
+            os.makedirs("runs", exist_ok=True)
+            save_comparison(data.image.astype(np.uint8), recon, out_path)
+            print(f"comparison figure: {out_path}")
     return 0
 
 

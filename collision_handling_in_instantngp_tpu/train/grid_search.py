@@ -60,13 +60,23 @@ def run_grid_search(
     logger_factory: Optional[Callable[[ExperimentConfig], MetricLogger]] = None,
     hpd_weights_path: Optional[str] = None,
     encoding_weights_path: Optional[str] = None,
-    shard_index: int = 0,
-    shard_count: int = 1,
+    shard_index: Optional[int] = 0,
+    shard_count: Optional[int] = 1,
     verbose: bool = True,
 ) -> List[Dict[str, Any]]:
     """Sweep configs [start_id, end_id] (inclusive start, exclusive end like the
     reference's slice at functions.py:503). Returns one summary row per config
-    run by THIS shard."""
+    run by THIS shard.
+
+    shard_index/shard_count = None enables multi-host auto-sharding: each JAX
+    process owns ``ids[jax.process_index()::jax.process_count()]`` — the
+    distributed version of the reference's manual ``-s/-e`` range splitting
+    (BASELINE.json config 5)."""
+    if shard_index is None or shard_count is None:
+        import jax
+
+        shard_index = jax.process_index()
+        shard_count = jax.process_count()
     grid = get_grid_search_configs()
     end_id = len(grid) if end_id is None else end_id
     if not (0 <= start_id <= len(grid)) or end_id > len(grid):
