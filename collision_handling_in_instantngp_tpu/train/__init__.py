@@ -1,1 +1,8 @@
-from . import early_stopping, loss, optimizer, train_step  # noqa: F401
+from . import (  # noqa: F401
+    early_stopping,
+    grid_search,
+    loss,
+    optimizer,
+    train_step,
+    trainer,
+)

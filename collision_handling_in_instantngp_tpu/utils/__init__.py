@@ -1,1 +1,10 @@
-from . import metrics  # noqa: F401
+from . import (  # noqa: F401
+    checkpoint,
+    debug,
+    histograms,
+    logging,
+    memory,
+    metrics,
+    profiling,
+    visualize,
+)
