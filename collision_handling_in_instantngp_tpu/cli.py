@@ -125,7 +125,6 @@ def main(argv=None) -> int:
         # reference test mode shows original-vs-output panels
         # (functions.py:705-713); headless hosts get a saved figure instead
         from .config import experiment_from_grid_id
-        from .models import gngf
         from .render import render_image
         from .utils.checkpoint import load_pytree
         from .utils.visualize import save_comparison

@@ -17,8 +17,6 @@ Identities used:
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 import jax.numpy as jnp
 

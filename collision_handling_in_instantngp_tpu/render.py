@@ -9,7 +9,6 @@ continuous, so super-/sub-sampling the training image is free).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import numpy as np

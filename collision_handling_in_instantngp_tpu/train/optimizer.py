@@ -20,8 +20,6 @@ BatchNorm params (when enabled) are NOT in any reference optimizer group
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import optax
 

@@ -9,7 +9,7 @@ watching the loss turn NaN."""
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable
 
 import jax
 from jax.experimental import checkify

@@ -8,8 +8,6 @@ ops.collisions.slot_counts instead of host-side Counter dicts.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
-
 import numpy as np
 
 
