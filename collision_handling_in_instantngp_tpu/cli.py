@@ -116,6 +116,7 @@ def main(argv=None) -> int:
         encoding_weights_path=args.encoding_weights_path,
         shard_index=None if args.shard_index < 0 else args.shard_index,
         shard_count=None if args.shard_count < 0 else args.shard_count,
+        progress=sys.stdout.isatty(),
     )
     for row in results:
         print(f"grid {row['grid_id']}: best PSNR {row['best_psnr']:.3f} "

@@ -63,6 +63,7 @@ def run_grid_search(
     shard_index: Optional[int] = 0,
     shard_count: Optional[int] = 1,
     verbose: bool = True,
+    progress: bool = False,
 ) -> List[Dict[str, Any]]:
     """Sweep configs [start_id, end_id] (inclusive start, exclusive end like the
     reference's slice at functions.py:503). Returns one summary row per config
@@ -112,6 +113,7 @@ def run_grid_search(
             epochs=epochs,
             collect_history=False,
             verbose=verbose,
+            progress=progress,
         )
         row = {
             "grid_id": grid_id,

@@ -62,8 +62,12 @@ def fit(
     epochs: Optional[int] = None,
     collect_history: bool = True,
     verbose: bool = True,
+    progress: bool = False,
 ) -> FitResult:
-    """Train one configuration to convergence (reference functions.py:540-814)."""
+    """Train one configuration to convergence (reference functions.py:540-814).
+
+    progress=True shows a tqdm bar with live PSNR (reference
+    functions.py:648, 694)."""
     logger = logger or NullLogger()
     tcfg, mcfg, lcfg = exp.train, exp.model, exp.loss
     epochs = epochs if epochs is not None else tcfg.epochs
@@ -113,7 +117,18 @@ def fit(
     og_max = float(np.max(data.image))
     values_per_img = data.num_pixels * data.channels
 
-    for e in range(epochs):
+    epoch_iter = range(epochs)
+    pbar = None
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            pbar = tqdm(epoch_iter)
+            epoch_iter = pbar
+        except ImportError:
+            pass
+
+    for e in epoch_iter:
         should_counts = (
             (e == epochs - 1) or (e % tcfg.histograms_rate == 0)
             or early_stopper.early_stop
@@ -146,6 +161,8 @@ def fit(
         )
         train_accuracy = float(match_count) / values_per_img * 100.0
         epochs_run = e + 1
+        if pbar is not None:
+            pbar.set_description(f"Training_psnr: {train_psnr}")
 
         # zero-collision abort: last two levels collision-free for the first
         # 10 checked epochs (reference functions.py:682-688)
