@@ -18,6 +18,7 @@ Identities used:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -34,22 +35,66 @@ def slot_counts(indices: jnp.ndarray, hash_table_size: int) -> jnp.ndarray:
     """
     l = indices.shape[1]
     per_level = jnp.moveaxis(indices, 1, 0).reshape(l, -1)          # (L, N)
-    offsets = (jnp.arange(l, dtype=jnp.int32) * hash_table_size)[:, None]
-    flat = (per_level.astype(jnp.int32) + offsets).reshape(-1)
-    counts = jnp.zeros(l * hash_table_size, dtype=jnp.int32).at[flat].add(1)
-    return counts.reshape(l, hash_table_size)
+    t = hash_table_size
+    n = per_level.shape[1]
+    chunk = max(1, min(_ONEHOT_CHUNK, (1 << 24) // max(l * t, 1)))
+    pad = (-n) % chunk
+    idx = jnp.pad(per_level.astype(jnp.int32), ((0, 0), (0, pad)),
+                  constant_values=-1)
+    c = idx.shape[1] // chunk
+    chunks = jnp.moveaxis(idx.reshape(l, c, chunk), 1, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+
+    def body(counts, idx_chunk):
+        hits = jnp.sum(
+            (idx_chunk[:, :, None] == cols).astype(jnp.int32), axis=1
+        )
+        return counts + hits, None
+
+    counts, _ = jax.lax.scan(body, jnp.zeros((l, t), jnp.int32), chunks)
+    return counts
+
+
+_ONEHOT_CHUNK = 8192
+
+
+def _presence_per_group(
+    flat_indices: jnp.ndarray, hash_table_size: int
+) -> jnp.ndarray:
+    """(G, N) slot ids -> (G, T) bool presence masks.
+
+    TPU note: scatter-adds serialize on TPU (~100 ms for the epoch-sized
+    inputs here); an OR-reduction of chunked one-hot compares is pure
+    vectorized VPU work and an order of magnitude faster. Memory is bounded
+    by the (G, chunk, T) compare tile.
+    """
+    g, n = flat_indices.shape
+    t = hash_table_size
+    chunk = max(1, min(_ONEHOT_CHUNK, (1 << 24) // max(g * t, 1)))
+    pad = (-n) % chunk
+    idx = jnp.pad(flat_indices.astype(jnp.int32), ((0, 0), (0, pad)),
+                  constant_values=-1)  # -1 matches no slot
+    c = idx.shape[1] // chunk
+    chunks = jnp.moveaxis(idx.reshape(g, c, chunk), 1, 0)  # (C, G, chunk)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+
+    def body(presence, idx_chunk):
+        hits = jnp.any(idx_chunk[:, :, None] == cols, axis=1)  # (G, T)
+        return jnp.logical_or(presence, hits), None
+
+    presence, _ = jax.lax.scan(
+        body, jnp.zeros((g, t), dtype=bool), chunks
+    )
+    return presence
 
 
 def _unique_counts_per_group(
     flat_indices: jnp.ndarray, num_groups: int, hash_table_size: int
 ) -> jnp.ndarray:
     """#distinct slot values per group. flat_indices: (G, N) -> (G,) int32."""
-    offsets = (jnp.arange(num_groups, dtype=jnp.int32) * hash_table_size)[:, None]
-    flat = (flat_indices.astype(jnp.int32) + offsets).reshape(-1)
-    counts = jnp.zeros(num_groups * hash_table_size, dtype=jnp.int32).at[flat].add(1)
-    return jnp.count_nonzero(
-        counts.reshape(num_groups, hash_table_size), axis=1
-    ).astype(jnp.int32)
+    del num_groups  # shape-derived
+    presence = _presence_per_group(flat_indices, hash_table_size)
+    return jnp.sum(presence.astype(jnp.int32), axis=1)
 
 
 def min_possible_collisions(n_ls: jnp.ndarray, hash_table_size: int) -> jnp.ndarray:
