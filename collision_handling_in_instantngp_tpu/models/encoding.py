@@ -11,10 +11,15 @@ parallel/).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig, TopkBlendMode
+
+# chunk rows for the one-hot table-gradient accumulation (see _gather_bwd)
+_GRAD_CHUNK = 16384
 
 
 def init_tables(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> jnp.ndarray:
@@ -28,6 +33,7 @@ def init_tables(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> jnp.ndar
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
 def _flat_gather(tables: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
     """Gather features with per-level indices.
 
@@ -35,13 +41,62 @@ def _flat_gather(tables: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
     Flattens the (L, T) axes so one gather serves every level (the level id is
     folded into the slot id), replacing the reference's per-level Python loop
     (models.py:182-207).
+
+    Custom VJP: XLA lowers the natural backward (scatter-add of millions of
+    per-row gradients into the tiny tables) to a serialized TPU scatter
+    (~30 ms/batch measured). The VJP below accumulates the table gradient as
+    a chunked one-hot MATMUL instead — the transpose of a gather is exactly
+    ``one_hot(idx)^T @ grads`` — which runs on the MXU/VPU and is
+    deterministic (sequential scan accumulation).
     """
+    return _flat_gather_impl(tables, indices)
+
+
+def _flat_gather_impl(tables, indices):
     l, t, f = tables.shape
     level_ids = jnp.arange(l, dtype=jnp.int32).reshape(
         (1, l) + (1,) * (indices.ndim - 2)
     )
     flat_idx = indices.astype(jnp.int32) + level_ids * t
     return jnp.take(tables.reshape(l * t, f), flat_idx, axis=0)
+
+
+def _gather_fwd(tables, indices):
+    return _flat_gather_impl(tables, indices), (indices, tables.shape)
+
+
+def _gather_bwd(residuals, g):
+    indices, (l, t, f) = residuals
+    # rows grouped per level: (L, N) indices and (L, N, F) grads
+    idx_ln = jnp.moveaxis(indices.astype(jnp.int32), 1, 0).reshape(l, -1)
+    g_ln = jnp.moveaxis(g, 1, 0).reshape(l, -1, f)
+    n = idx_ln.shape[1]
+    chunk = max(1, min(_GRAD_CHUNK, (1 << 24) // max(l * t, 1)))
+    pad = (-n) % chunk
+    if pad:
+        idx_ln = jnp.pad(idx_ln, ((0, 0), (0, pad)), constant_values=-1)
+        g_ln = jnp.pad(g_ln, ((0, 0), (0, pad), (0, 0)))
+    c = idx_ln.shape[1] // chunk
+    idx_chunks = jnp.moveaxis(idx_ln.reshape(l, c, chunk), 1, 0)
+    g_chunks = jnp.moveaxis(g_ln.reshape(l, c, chunk, f), 1, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+
+    def body(acc, xs):
+        idx_chunk, g_chunk = xs                      # (L, chunk), (L, chunk, F)
+        onehot = (idx_chunk[:, :, None] == cols).astype(g_chunk.dtype)
+        # (L, T, chunk) @ (L, chunk, F) -> (L, T, F) on the MXU
+        acc = acc + jnp.einsum(
+            "lct,lcf->ltf", onehot, g_chunk, precision="highest"
+        )
+        return acc, None
+
+    dtables, _ = jax.lax.scan(
+        body, jnp.zeros((l, t, f), g.dtype), (idx_chunks, g_chunks)
+    )
+    return dtables, None
+
+
+_flat_gather.defvjp(_gather_fwd, _gather_bwd)
 
 
 def lookup_vanilla(tables: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
