@@ -44,6 +44,10 @@ class EpochBatches(NamedTuple):
     x: jnp.ndarray            # (num_batches, B, d)
     y: jnp.ndarray            # (num_batches, B, C)
     scatter_idx: jnp.ndarray  # (num_batches * B,) pixel index of each row
+    gather_idx: jnp.ndarray   # (P,) row index of each pixel (inverse of
+                              # scatter_idx) — image assembly uses a GATHER,
+                              # which TPU executes far faster than the
+                              # equivalent scatter
     og_image: jnp.ndarray     # (P, C) int32 original image, pixel order —
                               # lets PSNR/accuracy run on device (the reference
                               # ships the full image to the host every epoch,
@@ -95,10 +99,16 @@ def build_epoch_batches(
         og = np.rint(targets * 255).astype(np.int32)
     else:
         og = og_image.reshape(p, -1).astype(np.int32)
+    inverse = np.zeros(p, dtype=np.int32)
+    # rows are written in order; for padded duplicates the FIRST occurrence
+    # wins (matches the scatter semantics where later writes would overwrite
+    # with identical pixels)
+    inverse[perm[::-1]] = np.arange(len(perm) - 1, -1, -1, dtype=np.int32)
     return EpochBatches(
         x=jnp.asarray(x),
         y=jnp.asarray(y),
         scatter_idx=jnp.asarray(perm.astype(np.int32)),
+        gather_idx=jnp.asarray(inverse),
         og_image=jnp.asarray(og),
     )
 
@@ -154,11 +164,7 @@ def make_epoch_fn(
         rgb_all, idx_all, losses, mses, js_kls, coll_losses = outs
 
         nb, b = rgb_all.shape[0], rgb_all.shape[1]
-        image = (
-            jnp.zeros((num_pixels, rgb_all.shape[-1]), rgb_all.dtype)
-            .at[batches.scatter_idx]
-            .set(rgb_all.reshape(nb * b, -1))
-        )
+        image = rgb_all.reshape(nb * b, -1)[batches.gather_idx]
         indices_all = idx_all.reshape((nb * b,) + idx_all.shape[2:])
 
         collisions, min_possible = gngf.calc_hash_collisions(
