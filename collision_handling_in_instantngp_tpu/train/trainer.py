@@ -59,6 +59,7 @@ def fit(
     run_name: Optional[str] = None,
     hpd_weights_path: Optional[str] = None,
     encoding_weights_path: Optional[str] = None,
+    warm_start_dir: Optional[str] = None,
     epochs: Optional[int] = None,
     collect_history: bool = True,
     verbose: bool = True,
@@ -94,6 +95,19 @@ def fit(
         params = dict(state.params)
         params["tables"] = jax.numpy.asarray(tables)
         state = state._replace(params=params)
+    if warm_start_dir is not None:
+        # resume from a previous run's best checkpoint: full params +
+        # optimizer state (the reference can only restart from scratch —
+        # its optimizer state is saved but never reloaded, functions.py:768)
+        params = jax.tree_util.tree_map(
+            jax.numpy.asarray,
+            ckpt.load_pytree(os.path.join(warm_start_dir, "whole_model.pkl")),
+        )
+        opt_state = jax.tree_util.tree_map(
+            jax.numpy.asarray,
+            ckpt.load_pytree(os.path.join(warm_start_dir, "whole_opt.pkl")),
+        )
+        state = state._replace(params=params, opt_state=opt_state)
     epoch_fn = make_jitted(tx, data.num_pixels)
     stats_fn = make_stats_fn(exp, statics)
 

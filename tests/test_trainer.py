@@ -87,6 +87,21 @@ def test_checkpoint_roundtrip_and_hpd_freeze(rng, tmp_path):
         np.testing.assert_array_equal(np.asarray(lay_new["b"]), lay_ckpt["b"])
 
 
+def test_warm_start_resume(rng, tmp_path):
+    """fit(warm_start_dir=...) resumes params AND optimizer state from a
+    previous run's checkpoint and continues improving."""
+    data = _tiny_data(rng)
+    exp = _small_exp(tmp_path, epochs=10)
+    res1 = fit(exp, data, verbose=False)
+
+    res2 = fit(
+        exp, data, warm_start_dir=res1.run_dir, epochs=5, verbose=False
+    )
+    # resumed run starts roughly where the checkpointed best left off —
+    # far better than a cold init's first epoch
+    assert res2.history[0]["train_psnr"] > res1.history[0]["train_psnr"]
+
+
 def test_vanilla_path_fit(rng, tmp_path):
     data = _tiny_data(rng)
     exp = _small_exp(tmp_path, epochs=10)
