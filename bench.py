@@ -62,7 +62,13 @@ def main() -> None:
             exp, model=dataclasses.replace(exp.model, use_hash_function=True)
         )
     elif args.mode == "scaled":
-        exp = dataclasses.replace(exp, model=instantngp_scaled_model())
+        # bigger tables trade batch size for HBM on one chip (slot-axis TP
+        # across a mesh is the multi-chip answer, parallel/mesh.py)
+        exp = dataclasses.replace(
+            exp,
+            model=instantngp_scaled_model(),
+            train=dataclasses.replace(exp.train, batch_fraction=1 / 8),
+        )
     data = load_image_dataset(os.path.join(REPO, "images", "strawberry.jpeg"))
     statics = gngf.make_statics(exp.model)
     shuffled, _ = make_shuffle_permutations(data.num_pixels, exp.train.seed, True)

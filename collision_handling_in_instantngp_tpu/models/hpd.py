@@ -96,12 +96,20 @@ def apply_hpd_fused(
             backend == "pallas_full_interpret",
         )
     else:
-        h = rows
-        for layer in params[:-1]:
-            h = jax.nn.relu(
-                jnp.matmul(h, layer["w"], precision=cfg.matmul_precision)
-                + layer["b"]
-            )
+        # remat: the hidden activations are cheap to recompute relative to
+        # storing (L, N, 32+64) intermediates for backward — matters for
+        # scaled-table configs where HBM is the constraint
+        @jax.checkpoint
+        def hidden_stack(rows, hidden_layers):
+            h = rows
+            for layer in hidden_layers:
+                h = jax.nn.relu(
+                    jnp.matmul(h, layer["w"], precision=cfg.matmul_precision)
+                    + layer["b"]
+                )
+            return h
+
+        h = hidden_stack(rows, params[:-1])
         marginal, vals, idx = hpd_tail(
             h, params[-1]["w"], params[-1]["b"], cfg.topk_k,
             cfg.matmul_precision, backend,
