@@ -109,6 +109,7 @@ def main(argv=None) -> int:
         data,
         start_id=args.start_id_param,
         end_id=end_id,
+        base_model=model_cfg,
         epochs=args.epochs,
         manifest_path=args.manifest,
         logger_factory=logger_factory,
@@ -136,7 +137,7 @@ def main(argv=None) -> int:
             import jax.numpy as jnp
             import jax
 
-            exp = experiment_from_grid_id(last["grid_id"])
+            exp = experiment_from_grid_id(last["grid_id"], base_model=model_cfg)
             params = load_pytree(
                 os.path.join(last["run_dir"], "whole_model.pkl")
             )

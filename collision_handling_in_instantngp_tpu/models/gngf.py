@@ -134,6 +134,11 @@ def forward(
 
     new_bn_state = bn_state
     if cfg.batchnorm_input:
+        if bn_state is None:
+            # inference callers (render_image/make_renderer) may not thread
+            # running stats; fall back to the fresh-init stats rather than
+            # dereferencing None
+            bn_state = init_bn_state(cfg)
         x, new_bn_state = _batchnorm(params["batchnorm"], bn_state, x, train)
 
     scaled, corners = scale_to_grid(x, n_ls, offsets)

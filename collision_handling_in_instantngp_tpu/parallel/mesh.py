@@ -84,6 +84,7 @@ def shard_state_and_batches(state, batches, mesh: Mesh, shard_tables: bool = Fal
     sharded_batches = type(batches)(
         x=jax.device_put(batches.x, bsh),
         y=jax.device_put(batches.y, bsh),
+        valid=jax.device_put(batches.valid, rep),
         scatter_idx=jax.device_put(batches.scatter_idx, psh),
         gather_idx=jax.device_put(batches.gather_idx, psh),
         og_image=jax.device_put(batches.og_image, psh),

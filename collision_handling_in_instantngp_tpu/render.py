@@ -30,9 +30,11 @@ def make_renderer(cfg: ModelConfig, statics: gngf.GNGFStatics, batch_rows: int):
     if key not in _RENDER_CACHE:
 
         @jax.jit
-        def renderer(params, chunks):
+        def renderer(params, chunks, bn_state=None):
             def body(_, chunk):
-                out = gngf.forward(params, chunk, cfg, statics, train=False)
+                out = gngf.forward(
+                    params, chunk, cfg, statics, bn_state=bn_state, train=False
+                )
                 return None, out.rgb
 
             _, rgb = jax.lax.scan(body, None, chunks)
@@ -50,6 +52,7 @@ def render_image(
     width: int = 339,
     train_shape: Optional[tuple] = None,
     batch_rows: int = 65536,
+    bn_state: Optional[dict] = None,
 ) -> np.ndarray:
     """Render an (height, width, C) uint8 image from trained parameters.
 
@@ -58,6 +61,8 @@ def render_image(
       main.py:50-51); a different render resolution maps linearly onto the
       training extent (the field is continuous — super/sub-sampling is free).
       Defaults to (height, width), i.e. rendering the native training grid.
+    bn_state: running batchnorm stats for ``batchnorm_input`` configs (saved
+      in checkpoints as ``bn_state.pkl``); defaults to fresh-init stats.
     """
     statics = statics if statics is not None else gngf.make_statics(cfg)
     th, tw = train_shape if train_shape is not None else (height, width)
@@ -74,7 +79,7 @@ def render_image(
         -1, batch_rows, coords.shape[1]
     )
     renderer = make_renderer(cfg, statics, batch_rows)
-    rgb = np.asarray(renderer(params, jnp.asarray(chunks)))[:n]
+    rgb = np.asarray(renderer(params, jnp.asarray(chunks), bn_state))[:n]
     img = rgb.reshape(height, width, -1)
     img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
     return img.squeeze(-1) if img.shape[-1] == 1 else img

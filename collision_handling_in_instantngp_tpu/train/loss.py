@@ -79,6 +79,7 @@ def compute_loss(
     cfg: LossConfig,
     num_levels: int,
     marginals: Optional[jnp.ndarray] = None,
+    valid_rows: Optional[jnp.ndarray] = None,
 ) -> LossAux:
     """Full training loss for one batch (reference utils.py:91-120 +
     functions.py:243-245).
@@ -95,8 +96,24 @@ def compute_loss(
         (constants; pass zeros for epoch 0 — the reference adds a constant 1
         instead, functions.py:245, which shifts the loss value by L without
         touching gradients; we use the sane zero form and document it).
+      valid_rows: scalar count of valid leading rows; rows >= valid_rows are
+        static padding (the duplicated tail of build_epoch_batches) and are
+        masked out of the MSE so padded pixels carry no extra gradient weight
+        (the reference instead DROPS the remainder, functions.py:183-194 —
+        our masked form trains every pixel exactly once per epoch). The JS/KL
+        marginal still averages over all rows: the <num_batches-1 duplicated
+        rows are genuine pixels and shift the (P*V)-row marginal by O(1e-5).
+        None = all rows valid.
     """
-    mse = jnp.mean((pred - target) ** 2)
+    if valid_rows is None:
+        mse = jnp.mean((pred - target) ** 2)
+    else:
+        mask = (
+            jnp.arange(pred.shape[0]) < valid_rows
+        ).astype(pred.dtype)[:, None]
+        sq = (pred - target) ** 2 * mask
+        denom = jnp.asarray(valid_rows, pred.dtype) * pred.shape[-1]
+        mse = jnp.sum(sq) / denom
     if probs is None and marginals is None:
         zeros = jnp.zeros((num_levels,), dtype=mse.dtype)
         return LossAux(

@@ -12,9 +12,11 @@ Batching follows the reference (functions.py:166, 183-194): the pixel set is
 split into ``ceil(1/batch_fraction)`` fixed slices of a FIXED shuffle
 permutation (built once, never re-shuffled). If the pixel count is not
 divisible by the batch count, the tail batch is padded with the first pixels of
-the permutation (the reference silently drops the remainder instead —
-functions.py:187; divisible sizes, like all three reference images, match
-exactly).
+the permutation so shapes stay static, and the padded rows are MASKED out of
+the MSE (per-batch ``valid`` counts) so each pixel carries exactly one unit of
+gradient weight per epoch. The reference silently DROPS the remainder instead
+(functions.py:187) — our form trains every pixel; divisible sizes, like all
+three reference images, match exactly.
 """
 
 from __future__ import annotations
@@ -43,6 +45,10 @@ class EpochBatches(NamedTuple):
 
     x: jnp.ndarray            # (num_batches, B, d)
     y: jnp.ndarray            # (num_batches, B, C)
+    valid: jnp.ndarray        # (num_batches,) int32 — count of non-padded
+                              # leading rows per batch; the MSE masks the rest
+                              # so duplicated tail pixels carry no extra
+                              # gradient weight
     scatter_idx: jnp.ndarray  # (num_batches * B,) pixel index of each row
     gather_idx: jnp.ndarray   # (P,) row index of each pixel (inverse of
                               # scatter_idx) — image assembly uses a GATHER,
@@ -104,9 +110,12 @@ def build_epoch_batches(
     # wins (matches the scatter semantics where later writes would overwrite
     # with identical pixels)
     inverse[perm[::-1]] = np.arange(len(perm) - 1, -1, -1, dtype=np.int32)
+    valid = np.full((num_batches,), b, dtype=np.int32)
+    valid[-1] = b - pad
     return EpochBatches(
         x=jnp.asarray(x),
         y=jnp.asarray(y),
+        valid=jnp.asarray(valid),
         scatter_idx=jnp.asarray(perm.astype(np.int32)),
         gather_idx=jnp.asarray(inverse),
         og_image=jnp.asarray(og),
@@ -127,11 +136,11 @@ def make_epoch_fn(
     mcfg, lcfg = exp.model, exp.loss
     tx = None  # created lazily against a params tree in init_state
 
-    def loss_fn(params, bn_state, bx, by, prev_coll, prev_min):
+    def loss_fn(params, bn_state, bx, by, nvalid, prev_coll, prev_min):
         out = gngf.forward(params, bx, mcfg, statics, bn_state=bn_state, train=True)
         aux = compute_loss(
             out.rgb, by, out.probs, prev_coll, prev_min, lcfg, mcfg.num_levels,
-            marginals=out.marginal,
+            marginals=out.marginal, valid_rows=nvalid,
         )
         return aux.total, (aux, out)
 
@@ -140,9 +149,9 @@ def make_epoch_fn(
     def epoch_fn(state: TrainState, batches: EpochBatches, num_pixels, tx_update):
         def body(carry, batch):
             params, opt_state, bn_state = carry
-            bx, by = batch
+            bx, by, nvalid = batch
             (_, (aux, out)), grads = grad_fn(
-                params, bn_state, bx, by,
+                params, bn_state, bx, by, nvalid,
                 state.prev_collisions, state.prev_min_possible,
             )
             updates, opt_state = tx_update(grads, opt_state, params)
@@ -159,7 +168,7 @@ def make_epoch_fn(
 
         (params, opt_state, bn_state), outs = jax.lax.scan(
             body, (state.params, state.opt_state, state.bn_state),
-            (batches.x, batches.y),
+            (batches.x, batches.y, batches.valid),
         )
         rgb_all, idx_all, losses, mses, js_kls, coll_losses = outs
 

@@ -97,17 +97,16 @@ def fit(
         state = state._replace(params=params)
     if warm_start_dir is not None:
         # resume from a previous run's best checkpoint: full params +
-        # optimizer state (the reference can only restart from scratch —
-        # its optimizer state is saved but never reloaded, functions.py:768)
-        params = jax.tree_util.tree_map(
-            jax.numpy.asarray,
-            ckpt.load_pytree(os.path.join(warm_start_dir, "whole_model.pkl")),
-        )
-        opt_state = jax.tree_util.tree_map(
-            jax.numpy.asarray,
-            ckpt.load_pytree(os.path.join(warm_start_dir, "whole_opt.pkl")),
+        # optimizer state + batchnorm running stats (the reference can only
+        # restart from scratch — its optimizer state is saved but never
+        # reloaded, functions.py:768). The config stamp is validated so a
+        # drifted ModelConfig fails loudly instead of mis-shaping params.
+        params, opt_state, bn_state = ckpt.load_run_checkpoint(
+            warm_start_dir, model_cfg=mcfg
         )
         state = state._replace(params=params, opt_state=opt_state)
+        if bn_state is not None:
+            state = state._replace(bn_state=bn_state)
     epoch_fn = make_jitted(tx, data.num_pixels)
     stats_fn = make_stats_fn(exp, statics)
 
@@ -222,10 +221,12 @@ def fit(
             best_psnr = train_psnr
             if tcfg.save_params and run_dir is not None:
                 # keep the best state on device; throttle disk writes
-                best_snapshot = (state.params, state.opt_state)
+                best_snapshot = (state.params, state.opt_state, state.bn_state)
                 now = time.monotonic()
                 if now - last_ckpt_write >= tcfg.checkpoint_min_interval_s:
-                    ckpt.save_run_checkpoint(run_dir, *best_snapshot)
+                    ckpt.save_run_checkpoint(
+                        run_dir, *best_snapshot, model_cfg=mcfg
+                    )
                     last_ckpt_write = now
 
         if early_stopper.early_stop:
@@ -236,7 +237,8 @@ def fit(
             early_stopper(train_loss)
 
     if best_snapshot is not None and run_dir is not None:
-        ckpt.save_run_checkpoint(run_dir, *best_snapshot)  # flush final best
+        # flush final best
+        ckpt.save_run_checkpoint(run_dir, *best_snapshot, model_cfg=mcfg)
 
     logger.finish()
     # the full-image prediction is fetched from device ONCE here (the

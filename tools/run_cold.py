@@ -1,0 +1,50 @@
+"""Cold-start PSNR protocol (VERDICT round-1 item 2): ONE from-scratch run per
+seed, tolerance=inf (the reference's early stopper is de-facto disabled by its
+uninitialized-buffer loss noise — RESULTS.md), 5000-epoch budget, config 4061
+on strawberry.jpeg. Prints one JSON summary line per seed.
+
+Usage: python tools/run_cold.py [epochs] [seed ...]
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from collision_handling_in_instantngp_tpu.config import experiment_from_grid_id
+from collision_handling_in_instantngp_tpu.data import load_image_dataset
+from collision_handling_in_instantngp_tpu.train.trainer import fit
+from collision_handling_in_instantngp_tpu.utils.logging import JsonlLogger
+
+
+def main(epochs, seeds):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data = load_image_dataset(os.path.join(repo, "images", "strawberry.jpeg"))
+    for seed in seeds:
+        exp = experiment_from_grid_id(4061)
+        exp = dataclasses.replace(
+            exp,
+            train=dataclasses.replace(exp.train, tolerance=10**9, seed=seed),
+        )
+        res = fit(
+            exp, data,
+            epochs=epochs,
+            logger=JsonlLogger(f"runs/strawberry_4061_cold_seed{seed}.jsonl"),
+            collect_history=False,
+            verbose=True,
+            run_name=f"cold_seed{seed}",
+        )
+        print(json.dumps({
+            "image": "strawberry.jpeg", "grid_id": 4061, "seed": seed,
+            "epochs": res.epochs_run, "best_psnr": round(res.best_psnr, 4),
+            "final_psnr": round(res.final_psnr, 4),
+            "final_loss": round(res.final_loss, 6), "run_dir": res.run_dir,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    seeds = [int(s) for s in sys.argv[2:]] or [65535]
+    main(epochs, seeds)
