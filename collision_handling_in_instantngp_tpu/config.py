@@ -85,6 +85,14 @@ class ModelConfig:
     # chunks instead of materializing the dense (P, L, V, T) probs tensor.
     # False = dense reference path (the parity oracle).
     fused_hpd: bool = True
+    # Unique-vertex deduplication (ops/dedup.py): evaluate the HPD + top-k +
+    # table blend once per unique integer grid vertex ((n_max+2)^d points,
+    # shared across levels) and gather per pixel — mathematically identical
+    # (count-weighted gradients) to the reference's per-row evaluation with
+    # >500x less index-network work. Auto-disabled for batchnormed inputs
+    # (vertex coords become step-dependent) and for hash-path configs.
+    # False = per-row reference-structured paths (the parity oracles).
+    dedup_vertices: bool = True
     # Fused-tail backend: "auto" (Pallas kernel on TPU for small K, streaming
     # lax.scan otherwise), "jax", "pallas", "pallas_interpret".
     hpd_backend: str = "auto"

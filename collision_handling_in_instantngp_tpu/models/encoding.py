@@ -107,6 +107,61 @@ def lookup_vanilla(tables: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
     return _flat_gather(tables, indices)
 
 
+def blend_weights(probs_topk: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Per-candidate blend weights over the K axis (reference
+    models.py:212-217; see config.TopkBlendMode)."""
+    if cfg.topk_blend is TopkBlendMode.RAW_SUM:
+        return probs_topk
+    if cfg.topk_blend is TopkBlendMode.SOFTMAX_AVG:
+        return jax.nn.softmax(probs_topk, axis=-1)
+    if cfg.topk_blend is TopkBlendMode.WEIGHTED_AVG:
+        return probs_topk / jnp.sum(probs_topk, axis=-1, keepdims=True)
+    raise ValueError(cfg.topk_blend)
+
+
+def blend_unique(
+    tables: jnp.ndarray,
+    idx_unique: jnp.ndarray,
+    vals_unique: jnp.ndarray,
+    cfg: ModelConfig,
+) -> jnp.ndarray:
+    """Blend the K candidate slots ONCE PER UNIQUE VERTEX (see ops/dedup.py).
+
+    The reference gathers and blends per (pixel, level, corner, k) row
+    (models.py:194-224) — >500x duplicated work since the HPD's top-k depends
+    only on the vertex coords. Here the (U, K) candidates are looked up in
+    every level's table and blended into a (L, U, F) per-vertex feature table
+    that pixels then gather from (gather_rows).
+
+    Args:
+      idx_unique:  (U, K) slot ids per unique vertex.
+      vals_unique: (U, K) selected probabilities (straight-through gradient).
+
+    Returns:
+      (L, U, F) blended per-vertex features.
+    """
+    u, k = idx_unique.shape
+    l = tables.shape[0]
+    # (U, L, K) broadcast so the shared-across-levels candidates hit every
+    # level's table through the fused flat gather (deterministic one-hot bwd)
+    idx_bcast = jnp.broadcast_to(idx_unique[:, None, :], (u, l, k))
+    gathered = _flat_gather(tables, idx_bcast)                 # (U, L, K, F)
+    w = blend_weights(vals_unique, cfg)                        # (U, K)
+    return jnp.einsum(
+        "ulkf,uk->luf", gathered, w, precision="highest"
+    )
+
+
+def gather_rows(per_level_table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel gather from a (L, U, F) per-vertex feature table.
+
+    ids: (P, L, V) unique-vertex ids -> (P, L, V, F) features. Same fused
+    flat-gather (and chunked one-hot segment-sum backward) as the hash-table
+    lookup — the transpose of this gather is exactly the count-weighted
+    accumulation that makes vertex dedup gradient-exact."""
+    return _flat_gather(per_level_table, ids)
+
+
 def lookup_topk_blend(
     tables: jnp.ndarray,
     indices_topk: jnp.ndarray,
@@ -125,12 +180,5 @@ def lookup_topk_blend(
       models.py:212-217 (see config.TopkBlendMode).
     """
     feats = _flat_gather(tables, indices_topk)                    # (P, L, V, K, F)
-    if cfg.topk_blend is TopkBlendMode.RAW_SUM:
-        w = probs_topk
-    elif cfg.topk_blend is TopkBlendMode.SOFTMAX_AVG:
-        w = jax.nn.softmax(probs_topk, axis=-1)
-    elif cfg.topk_blend is TopkBlendMode.WEIGHTED_AVG:
-        w = probs_topk / jnp.sum(probs_topk, axis=-1, keepdims=True)
-    else:
-        raise ValueError(cfg.topk_blend)
+    w = blend_weights(probs_topk, cfg)
     return jnp.sum(feats * w[..., None], axis=-2)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig, TopkScatterMode
 from ..ops import collisions as coll_ops
+from ..ops import dedup as dedup_ops
 from ..ops.grid import resolution_ladder, scale_to_grid, voxel_corner_offsets
 from ..ops.hashing import fast_hash
 from ..ops.interpolate import bilinear_coeffs, interpolate
@@ -44,6 +45,10 @@ class GNGFStatics(NamedTuple):
 
     n_ls: np.ndarray       # (L,) int32 — reference models.py:311-317
     offsets: np.ndarray    # (V, d) int32 — reference models.py:321-334
+    unique_coords: Optional[np.ndarray] = None
+                           # (U, d) float32 — the shared integer vertex grid
+                           # for the dedup path (ops/dedup.py); None when
+                           # dedup is inapplicable to the config
 
 
 class ForwardOut(NamedTuple):
@@ -51,20 +56,44 @@ class ForwardOut(NamedTuple):
     probs: Optional[jnp.ndarray]           # dense loss probs: (P,L,V,T) full or
                                            # (P,L,V,K) if keep_topk_only; None on
                                            # the vanilla path (models.py:475-484)
-                                           # and on the fused path
-    marginal: Optional[jnp.ndarray]        # (L, T) per-level marginal slot
-                                           # distribution (fused path; the only
-                                           # thing the JS/KL loss needs)
+                                           # and on the fused/dedup paths
+    marginal: Optional[jnp.ndarray]        # (L, T) (or (L, K) under
+                                           # keep_topk_only on the dedup path)
+                                           # per-level marginal slot
+                                           # distribution — the only thing the
+                                           # JS/KL loss needs
     indices: jnp.ndarray                   # (P,L,V,K) GNGF | (P,L,V) vanilla
-    topk_values: Optional[jnp.ndarray]     # (P,L,V,K) | None
+    topk_values: Optional[jnp.ndarray]     # (P,L,V,K) | None (dedup path)
     corners: jnp.ndarray                   # (P,L,V,d) grid-vertex coords
     bn_state: Optional[dict]               # updated running stats, if batchnorm
+    idx_unique: Optional[jnp.ndarray] = None    # (U, K) dedup-path candidates
+    dedup_counts: Optional[jnp.ndarray] = None  # (L, U) dedup-path row counts
+
+
+def dedup_enabled(cfg: ModelConfig) -> bool:
+    """Whether the unique-vertex dedup path applies (see ops/dedup.py): the
+    GNGF path with statically-bounded vertex coords (no batchnorm) and a dense
+    (U, T) probability table small enough to materialize. Scaled-table configs
+    past the threshold use the streaming/fused per-row paths instead."""
+    return (
+        cfg.dedup_vertices
+        and not cfg.use_hash_function
+        and not cfg.batchnorm_input
+        and dedup_ops.num_unique(cfg.n_max, cfg.input_dim)
+        * cfg.hash_table_size
+        <= (1 << 25)
+    )
 
 
 def make_statics(cfg: ModelConfig) -> GNGFStatics:
     return GNGFStatics(
         n_ls=resolution_ladder(cfg.n_min, cfg.n_max, cfg.num_levels),
         offsets=voxel_corner_offsets(cfg.input_dim),
+        unique_coords=(
+            dedup_ops.unique_vertex_coords(cfg.n_max, cfg.input_dim)
+            if dedup_enabled(cfg)
+            else None
+        ),
     )
 
 
@@ -127,8 +156,13 @@ def forward(
     statics: GNGFStatics,
     bn_state: Optional[dict] = None,
     train: bool = True,
+    dedup: Optional[dedup_ops.DedupGeometry] = None,
 ) -> ForwardOut:
-    """Full model forward (reference models.py:394-484)."""
+    """Full model forward (reference models.py:394-484).
+
+    dedup: optional precomputed per-batch vertex-dedup geometry (static for
+    fixed batches — the trainer precomputes it host-side); when None and the
+    dedup path applies, ids/counts are derived in-graph."""
     n_ls = jnp.asarray(statics.n_ls)
     offsets = jnp.asarray(statics.offsets)
 
@@ -148,10 +182,41 @@ def forward(
     corners = jax.lax.stop_gradient(corners)
 
     marginal = None
+    idx_unique = None
+    dedup_counts = None
+    use_dedup = dedup_enabled(cfg) and statics.unique_coords is not None
     if cfg.use_hash_function:
         indices = fast_hash(corners, cfg.hash_table_size)          # (P,L,V)
         feats = enc.lookup_vanilla(params["tables"], indices)      # (P,L,V,F)
-        probs, topk_values, topk_indices = None, None, None
+        probs, topk_values = None, None
+    elif use_dedup:
+        # unique-vertex dedup (ops/dedup.py): the index network runs on the
+        # (n_max+2)^d shared integer grid — count-weighted-gradient-identical
+        # to the reference's per-row evaluation (models.py:416-423) at a
+        # fraction of the work; pixels gather their vertices' blended features
+        ucoords = jnp.asarray(statics.unique_coords)
+        side = dedup_ops.grid_side(cfg.n_max)
+        u = ucoords.shape[0]
+        if dedup is not None:
+            ids, counts = dedup.ids, dedup.counts
+        else:
+            ids = dedup_ops.vertex_ids(corners, side)
+            counts = (
+                dedup_ops.counts_jnp(ids, cfg.num_levels, u) if train else None
+            )
+        probs_u, vals_u, idx_u = apply_hpd(params["hpd"], ucoords, cfg)
+        feats_u = enc.blend_unique(params["tables"], idx_u, vals_u, cfg)
+        feats = enc.gather_rows(feats_u, ids)                      # (P,L,V,F)
+        indices = jnp.take(idx_u, ids, axis=0)                     # (P,L,V,K)
+        probs, topk_values = None, None
+        if counts is not None:
+            # per-level loss marginal (reference utils.py:138) as a single
+            # counts @ probs matmul; under keep_topk_only the marginal runs
+            # over the K selected values instead (functions.py:230)
+            rows = x.shape[0] * cfg.num_corners
+            src = vals_u if cfg.keep_topk_only else probs_u
+            marginal = (counts @ src) / rows
+        idx_unique, dedup_counts = idx_u, counts
     else:
         # the NOOP straight-through quirk (reference models.py:31) zeroes the
         # top-k backward; the fused op implements the standard scatter, so
@@ -183,13 +248,17 @@ def forward(
     )
 
     if cfg.use_hash_function:
-        loss_probs = None
+        loss_probs, loss_marginal = None, None
+    elif use_dedup:
+        # the dedup path always emits the pre-reduced marginal (over T, or
+        # over the K selected values under keep_topk_only)
+        loss_probs, loss_marginal = None, marginal
     else:
         # keep_topk_only: the loss marginalizes the (small) top-k values
         # instead of the full distribution (reference models.py:475-484) —
         # identical on the fused and dense paths
         loss_probs = topk_values if cfg.keep_topk_only else probs
-    loss_marginal = marginal if not cfg.keep_topk_only else None
+        loss_marginal = marginal if not cfg.keep_topk_only else None
 
     return ForwardOut(
         rgb=rgb,
@@ -199,6 +268,8 @@ def forward(
         topk_values=topk_values,
         corners=corners,
         bn_state=new_bn_state,
+        idx_unique=idx_unique,
+        dedup_counts=dedup_counts,
     )
 
 

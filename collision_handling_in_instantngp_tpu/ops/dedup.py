@@ -1,0 +1,190 @@
+"""Unique-vertex deduplication of the GNGF index network.
+
+The TPU-first observation this module encodes: the HPD MLP's input is the raw
+INTEGER grid-vertex coordinate pair (reference models.py:416-418 feeds the
+(P, L, V, 2) corner coords straight into the index network, which is SHARED
+across levels — no level feature enters the MLP). With coords normalized to
+[0, 1] (reference main.py:50-51) every vertex of every level lives on the
+integer grid ``{0..n_max+1}^d`` — at the default config that is 34^2 = 1,156
+distinct points, while the reference (and a naive port) evaluates the MLP on
+P*L*V = 918,464 duplicated rows per batch, >500x redundant work.
+
+Evaluating the HPD (+ softmax + top-k + table blend) ONCE per unique vertex
+and gathering per pixel is mathematically identical: duplicated rows produce
+identical outputs, and the reverse-mode gradient of a gather is exactly the
+count-weighted segment-sum of the per-row cotangents. The per-level loss
+marginal ``sum_rows probs / (P*V)`` (reference utils.py:138) becomes a single
+(L, U) @ (U, T) matmul against the static per-level vertex-occurrence counts.
+
+The dedup geometry (vertex ids + counts) is static per batch — the reference
+never re-shuffles pixels (main.py:56-58) — so the trainer precomputes it once
+on the host (numpy) and the jitted epoch never recomputes it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class DedupGeometry(NamedTuple):
+    """Static per-batch vertex deduplication tables.
+
+    ids:    (..., L, V) int32 — global unique-grid id of every row's vertex
+            (id = row * side + col on the shared {0..side-1}^2 integer grid).
+    counts: (L, U) float32 — number of (pixel, corner) rows of each level that
+            map to each unique vertex. Feeds the loss marginal and the
+            collision statistics.
+    """
+
+    ids: jnp.ndarray
+    counts: jnp.ndarray
+
+
+def grid_side(n_max: int) -> int:
+    """Side of the shared integer vertex grid. ``floor(x * n_l)`` for
+    x in [0, 1] reaches n_l, plus the +1 corner offset -> max coord n_l + 1,
+    so the grid is {0 .. n_max+1} per dim."""
+    return int(n_max) + 2
+
+
+def num_unique(n_max: int, input_dim: int = 2) -> int:
+    return grid_side(n_max) ** input_dim
+
+
+def unique_vertex_coords(n_max: int, input_dim: int = 2) -> np.ndarray:
+    """(U, d) float32 — every integer vertex of the shared grid, id-ordered
+    (row-major), exactly the raw coords the reference feeds the HPD."""
+    side = grid_side(n_max)
+    axes = np.meshgrid(*([np.arange(side)] * input_dim), indexing="ij")
+    return np.stack(axes, axis=-1).reshape(-1, input_dim).astype(np.float32)
+
+
+def vertex_ids(corners: jnp.ndarray, side: int) -> jnp.ndarray:
+    """(..., d) float integer-valued corner coords -> (...,) int32 global ids.
+
+    Coords are clipped into the grid so out-of-range inputs (possible only for
+    un-normalized or batchnormed coords, which disable the dedup path) can
+    never produce out-of-bounds gathers."""
+    c = jnp.clip(corners.astype(jnp.int32), 0, side - 1)
+    ids = c[..., 0]
+    for i in range(1, c.shape[-1]):
+        ids = ids * side + c[..., i]
+    return ids
+
+
+def vertex_ids_np(corners: np.ndarray, side: int) -> np.ndarray:
+    c = np.clip(corners.astype(np.int32), 0, side - 1)
+    ids = c[..., 0]
+    for i in range(1, c.shape[-1]):
+        ids = ids * side + c[..., i]
+    return ids.astype(np.int32)
+
+
+def counts_np(ids: np.ndarray, num_levels: int, u: int) -> np.ndarray:
+    """Host-side per-level occurrence counts: (..., L, V) ids -> (L, U) f32."""
+    ids = np.moveaxis(ids, -2, 0).reshape(num_levels, -1)
+    return np.stack(
+        [np.bincount(ids[l], minlength=u).astype(np.float32)
+         for l in range(num_levels)]
+    )
+
+
+_COUNT_CHUNK = 4096
+
+
+def counts_jnp(ids: jnp.ndarray, num_levels: int, u: int) -> jnp.ndarray:
+    """In-jit fallback of :func:`counts_np` (generic forward callers without
+    precomputed geometry). Chunked one-hot sum — scatter-free (TPU scatters
+    serialize; see ops/collisions.py)."""
+    ids = jnp.moveaxis(ids, -2, 0).reshape(num_levels, -1)
+    n = ids.shape[1]
+    chunk = max(1, min(_COUNT_CHUNK, (1 << 24) // max(num_levels * u, 1)))
+    pad = (-n) % chunk
+    idx = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+    c = idx.shape[1] // chunk
+    chunks = jnp.moveaxis(idx.reshape(num_levels, c, chunk), 1, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, u), 2)
+
+    def body(acc, idx_chunk):
+        hits = jnp.sum(
+            (idx_chunk[:, :, None] == cols).astype(jnp.float32), axis=1
+        )
+        return acc + hits, None
+
+    counts, _ = jax.lax.scan(
+        body, jnp.zeros((num_levels, u), jnp.float32), chunks
+    )
+    return counts
+
+
+def build_geometry_np(
+    coords: np.ndarray, n_ls: np.ndarray, offsets: np.ndarray, n_max: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side (ids, counts) for a batch of normalized coords.
+
+    Float math is done in float32 to bit-match the on-device
+    ops.grid.scale_to_grid floor."""
+    x = coords.astype(np.float32)
+    scaled = x[:, None, :] * n_ls[None, :, None].astype(np.float32)
+    corners = np.floor(scaled)[:, :, None, :] + offsets[None, None, :, :].astype(
+        np.float32
+    )
+    side = grid_side(n_max)
+    ids = vertex_ids_np(corners, side)                       # (P, L, V)
+    counts = counts_np(ids, len(n_ls), side ** coords.shape[-1])
+    return ids, counts
+
+
+# ------------------------- statistics on unique ids ------------------------- #
+
+def used_slot_presence(
+    idx_unique: jnp.ndarray, counts: jnp.ndarray, hash_table_size: int
+) -> jnp.ndarray:
+    """(L, K, T) bool: does any level-l-occupied vertex select slot t as its
+    k-th candidate? The dedup form of the per-(k, level) used-slot sets that
+    feed collision counting (reference models.py:586-607): a slot is "used" at
+    (l, k) iff some vertex with count_{l,v} > 0 has idx_unique[v, k] == t.
+    """
+    u, k = idx_unique.shape
+    onehot = (
+        idx_unique[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, hash_table_size), 2)
+    ).astype(jnp.float32)                                    # (U, K, T)
+    present = (counts > 0).astype(jnp.float32)               # (L, U)
+    hits = jnp.einsum(
+        "lu,ukt->lkt", present, onehot, precision="highest"
+    )
+    return hits > 0
+
+
+def collisions_from_presence(
+    presence: jnp.ndarray, n_ls: jnp.ndarray
+) -> jnp.ndarray:
+    """(L, K, T) used-slot presence -> (L,) clamped mean collisions, the
+    reference formula (models.py:586-607): per (l, k) collisions =
+    (n_l+1)^2 - #used, mean over k, clamp >= 0."""
+    uniques = jnp.sum(presence.astype(jnp.float32), axis=-1)         # (L, K)
+    total_vertices = ((n_ls.astype(jnp.int32) + 1) ** 2).astype(jnp.float32)
+    coll = jnp.mean(total_vertices[:, None] - uniques, axis=1)
+    return jnp.maximum(coll, 0.0)
+
+
+def slot_counts_dedup(
+    idx_unique: jnp.ndarray, counts: jnp.ndarray, hash_table_size: int
+) -> jnp.ndarray:
+    """(L, T) slot-usage histogram over all (pixel, corner, k) rows — the
+    dedup form of ops.collisions.slot_counts: each unique vertex contributes
+    its per-level row count to each of its K selected slots."""
+    onehot_sum = jnp.sum(
+        (
+            idx_unique[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, hash_table_size), 2)
+        ).astype(jnp.float32),
+        axis=1,
+    )                                                         # (U, T)
+    hist = jnp.einsum("lu,ut->lt", counts, onehot_sum, precision="highest")
+    return jnp.rint(hist).astype(jnp.int32)

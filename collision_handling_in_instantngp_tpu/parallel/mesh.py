@@ -88,5 +88,13 @@ def shard_state_and_batches(state, batches, mesh: Mesh, shard_tables: bool = Fal
         scatter_idx=jax.device_put(batches.scatter_idx, psh),
         gather_idx=jax.device_put(batches.gather_idx, psh),
         og_image=jax.device_put(batches.og_image, psh),
+        dedup_ids=(
+            None if batches.dedup_ids is None
+            else jax.device_put(batches.dedup_ids, bsh)
+        ),
+        dedup_counts=(
+            None if batches.dedup_counts is None
+            else jax.device_put(batches.dedup_counts, rep)
+        ),
     )
     return state, sharded_batches

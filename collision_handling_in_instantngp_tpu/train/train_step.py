@@ -32,6 +32,7 @@ import optax
 from ..config import ExperimentConfig
 from ..models import gngf
 from ..ops import collisions as coll_ops
+from ..ops import dedup as dedup_ops
 from .loss import compute_loss
 from .optimizer import make_optimizer
 
@@ -58,6 +59,13 @@ class EpochBatches(NamedTuple):
                               # lets PSNR/accuracy run on device (the reference
                               # ships the full image to the host every epoch,
                               # functions.py:332-335 + 690-694)
+    dedup_ids: Optional[jnp.ndarray] = None     # (nb, B, L, V) int32 unique-
+                              # vertex ids (ops/dedup.py) — static per batch,
+                              # precomputed host-side; None disables precompute
+                              # (the forward derives them in-graph instead)
+    dedup_counts: Optional[jnp.ndarray] = None  # (nb, L, U) float32 per-level
+                              # vertex occurrence counts (loss marginal +
+                              # collision statistics)
 
 
 class TrainState(NamedTuple):
@@ -89,11 +97,16 @@ def build_epoch_batches(
     batch_fraction: float,
     shuffled_indices: np.ndarray,
     og_image: Optional[np.ndarray] = None,
+    model_cfg=None,
+    statics: Optional[gngf.GNGFStatics] = None,
 ) -> EpochBatches:
     """Slice the (fixed) shuffled pixel stream into static minibatches.
 
     og_image: (P, C) or (h, w[, C]) integer original image for on-device
-    PSNR/accuracy; defaults to round-tripping ``targets * 255``."""
+    PSNR/accuracy; defaults to round-tripping ``targets * 255``.
+    model_cfg/statics: pass both to precompute the per-batch vertex-dedup
+    geometry host-side (ids + counts are static because batches never
+    re-shuffle); omitted -> the jitted forward derives them in-graph."""
     p = coords.shape[0]
     num_batches = int(np.ceil(1.0 / batch_fraction))
     b = int(np.ceil(p / num_batches))
@@ -112,6 +125,24 @@ def build_epoch_batches(
     inverse[perm[::-1]] = np.arange(len(perm) - 1, -1, -1, dtype=np.int32)
     valid = np.full((num_batches,), b, dtype=np.int32)
     valid[-1] = b - pad
+
+    dedup_ids = dedup_counts = None
+    if (
+        model_cfg is not None
+        and statics is not None
+        and gngf.dedup_enabled(model_cfg)
+        and statics.unique_coords is not None
+    ):
+        ids_list, counts_list = [], []
+        for bi in range(num_batches):
+            ids_b, counts_b = dedup_ops.build_geometry_np(
+                x[bi], statics.n_ls, statics.offsets, model_cfg.n_max
+            )
+            ids_list.append(ids_b)
+            counts_list.append(counts_b)
+        dedup_ids = jnp.asarray(np.stack(ids_list))
+        dedup_counts = jnp.asarray(np.stack(counts_list))
+
     return EpochBatches(
         x=jnp.asarray(x),
         y=jnp.asarray(y),
@@ -119,6 +150,8 @@ def build_epoch_batches(
         scatter_idx=jnp.asarray(perm.astype(np.int32)),
         gather_idx=jnp.asarray(inverse),
         og_image=jnp.asarray(og),
+        dedup_ids=dedup_ids,
+        dedup_counts=dedup_counts,
     )
 
 
@@ -136,8 +169,13 @@ def make_epoch_fn(
     mcfg, lcfg = exp.model, exp.loss
     tx = None  # created lazily against a params tree in init_state
 
-    def loss_fn(params, bn_state, bx, by, nvalid, prev_coll, prev_min):
-        out = gngf.forward(params, bx, mcfg, statics, bn_state=bn_state, train=True)
+    use_dedup = gngf.dedup_enabled(mcfg)
+
+    def loss_fn(params, bn_state, bx, by, nvalid, dedup, prev_coll, prev_min):
+        out = gngf.forward(
+            params, bx, mcfg, statics, bn_state=bn_state, train=True,
+            dedup=dedup,
+        )
         aux = compute_loss(
             out.rgb, by, out.probs, prev_coll, prev_min, lcfg, mcfg.num_levels,
             marginals=out.marginal, valid_rows=nvalid,
@@ -149,16 +187,31 @@ def make_epoch_fn(
     def epoch_fn(state: TrainState, batches: EpochBatches, num_pixels, tx_update):
         def body(carry, batch):
             params, opt_state, bn_state = carry
-            bx, by, nvalid = batch
+            bx, by, nvalid, dids, dcounts = batch
+            dedup = (
+                dedup_ops.DedupGeometry(dids, dcounts)
+                if dids is not None
+                else None
+            )
             (_, (aux, out)), grads = grad_fn(
-                params, bn_state, bx, by, nvalid,
+                params, bn_state, bx, by, nvalid, dedup,
                 state.prev_collisions, state.prev_min_possible,
             )
             updates, opt_state = tx_update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if use_dedup:
+                # per-batch used-slot presence: the collision statistic
+                # reduces to tiny (L, U) x (U, K, T) contractions on unique
+                # vertices instead of a scan over every pixel row
+                presence = dedup_ops.used_slot_presence(
+                    out.idx_unique, out.dedup_counts, mcfg.hash_table_size
+                )
+            else:
+                presence = jnp.zeros((), jnp.bool_)
             scan_out = (
                 out.rgb,
                 out.indices,
+                presence,
                 aux.total,
                 aux.mse,
                 aux.js_kl_per_level,
@@ -168,17 +221,28 @@ def make_epoch_fn(
 
         (params, opt_state, bn_state), outs = jax.lax.scan(
             body, (state.params, state.opt_state, state.bn_state),
-            (batches.x, batches.y, batches.valid),
+            (batches.x, batches.y, batches.valid,
+             batches.dedup_ids, batches.dedup_counts),
         )
-        rgb_all, idx_all, losses, mses, js_kls, coll_losses = outs
+        rgb_all, idx_all, presence_all, losses, mses, js_kls, coll_losses = outs
 
         nb, b = rgb_all.shape[0], rgb_all.shape[1]
         image = rgb_all.reshape(nb * b, -1)[batches.gather_idx]
         indices_all = idx_all.reshape((nb * b,) + idx_all.shape[2:])
 
-        collisions, min_possible = gngf.calc_hash_collisions(
-            indices_all, mcfg, statics
-        )
+        if use_dedup:
+            # union over batches == used-slot sets over every epoch row (each
+            # batch evaluated with its own params, like the serial reference)
+            collisions = dedup_ops.collisions_from_presence(
+                jnp.any(presence_all, axis=0), jnp.asarray(statics.n_ls)
+            )
+            min_possible = coll_ops.min_possible_collisions(
+                jnp.asarray(statics.n_ls), mcfg.hash_table_size
+            ).astype(jnp.float32)
+        else:
+            collisions, min_possible = gngf.calc_hash_collisions(
+                indices_all, mcfg, statics
+            )
 
         # device-side image metrics (uint8 truncation like the reference's
         # `(output*255).int()`, functions.py:332-335)

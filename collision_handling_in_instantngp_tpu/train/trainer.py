@@ -79,7 +79,7 @@ def fit(
     )
     batches = build_epoch_batches(
         data.coords, data.targets, tcfg.batch_fraction, shuffled,
-        og_image=data.image,
+        og_image=data.image, model_cfg=mcfg, statics=statics,
     )
 
     freeze_hpd = hpd_weights_path is not None

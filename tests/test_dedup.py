@@ -1,0 +1,207 @@
+"""Unique-vertex dedup path (ops/dedup.py): exact parity with the per-row
+reference-structured paths.
+
+The dedup path must be indistinguishable from the dense oracle: identical
+forward outputs, identical loss marginals, identical collision statistics and
+identical parameter trajectories over jitted epochs (gradients are the
+count-weighted segment-sums of the per-row gradients — mathematically equal).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from collision_handling_in_instantngp_tpu.config import (
+    ModelConfig,
+    TopkScatterMode,
+    experiment_from_grid_id,
+)
+from collision_handling_in_instantngp_tpu.models import gngf
+from collision_handling_in_instantngp_tpu.ops import dedup as dedup_ops
+from collision_handling_in_instantngp_tpu.ops.grid import scale_to_grid
+from collision_handling_in_instantngp_tpu.train.loss import (
+    compute_loss,
+    marginal_slot_distribution,
+)
+from collision_handling_in_instantngp_tpu.train.train_step import (
+    build_epoch_batches,
+    make_epoch_fn,
+)
+
+
+def _cfg(**kw):
+    base = dict(
+        hash_table_size=64, hpd_hidden=(8, 16), mlp_hidden=(16,), topk_k=3,
+        fused_hpd=False,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _coords(rng, p=257):
+    return jnp.asarray(rng.random((p, 2)).astype(np.float32))
+
+
+# ------------------------------ unit level --------------------------------- #
+
+def test_vertex_ids_and_counts_match_bruteforce(rng):
+    cfg = _cfg()
+    statics = gngf.make_statics(cfg)
+    x = _coords(rng, 123)
+    _, corners = scale_to_grid(
+        x, jnp.asarray(statics.n_ls), jnp.asarray(statics.offsets)
+    )
+    side = dedup_ops.grid_side(cfg.n_max)
+    u = side * side
+    ids = np.asarray(dedup_ops.vertex_ids(corners, side))
+
+    c = np.asarray(corners).astype(np.int32)
+    expect = c[..., 0] * side + c[..., 1]
+    np.testing.assert_array_equal(ids, expect)
+    assert ids.min() >= 0 and ids.max() < u
+
+    counts = np.asarray(dedup_ops.counts_jnp(jnp.asarray(ids), cfg.num_levels, u))
+    for l in range(cfg.num_levels):
+        np.testing.assert_array_equal(
+            counts[l], np.bincount(ids[:, l].ravel(), minlength=u)
+        )
+    # host-side precompute agrees with the in-graph computation bit-for-bit
+    ids_np, counts_np = dedup_ops.build_geometry_np(
+        np.asarray(x), statics.n_ls, statics.offsets, cfg.n_max
+    )
+    np.testing.assert_array_equal(ids_np, ids)
+    np.testing.assert_array_equal(counts_np, counts)
+
+
+def test_unique_coords_cover_all_ids():
+    cfg = _cfg()
+    uc = dedup_ops.unique_vertex_coords(cfg.n_max, cfg.input_dim)
+    side = dedup_ops.grid_side(cfg.n_max)
+    assert uc.shape == (side * side, 2)
+    # id ordering: coords[id] == (id // side, id % side)
+    ids = dedup_ops.vertex_ids_np(uc, side)
+    np.testing.assert_array_equal(ids, np.arange(side * side))
+
+
+# --------------------------- forward parity -------------------------------- #
+
+@pytest.mark.parametrize("keep_topk_only", [False, True])
+def test_forward_parity_vs_dense(rng, keep_topk_only):
+    cfg = _cfg(keep_topk_only=keep_topk_only)
+    assert gngf.dedup_enabled(cfg)
+    statics = gngf.make_statics(cfg)
+    params = gngf.init_params(jax.random.PRNGKey(0), cfg)
+    x = _coords(rng)
+
+    out_d = gngf.forward(params, x, cfg, statics, train=True)
+    cfg_ref = dataclasses.replace(cfg, dedup_vertices=False)
+    out_r = gngf.forward(params, x, cfg_ref, gngf.make_statics(cfg_ref), train=True)
+
+    np.testing.assert_allclose(
+        np.asarray(out_d.rgb), np.asarray(out_r.rgb), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_d.indices), np.asarray(out_r.indices)
+    )
+    # dedup emits the pre-reduced marginal; the dense path's marginal over
+    # rows must agree
+    assert out_d.probs is None and out_d.marginal is not None
+    dense = out_r.probs  # (P, L, V, N) with N = T or K
+    expect = np.stack([
+        np.asarray(marginal_slot_distribution(dense[:, l]))
+        for l in range(cfg.num_levels)
+    ])
+    np.testing.assert_allclose(
+        np.asarray(out_d.marginal), expect, rtol=1e-5, atol=1e-7
+    )
+
+
+def test_forward_render_mode_no_counts(rng):
+    """train=False skips the marginal/counts machinery entirely."""
+    cfg = _cfg()
+    statics = gngf.make_statics(cfg)
+    params = gngf.init_params(jax.random.PRNGKey(0), cfg)
+    out = gngf.forward(params, _coords(rng), cfg, statics, train=False)
+    assert out.marginal is None and out.dedup_counts is None
+    assert out.rgb.shape[-1] == 3
+
+
+# ----------------------- gradient / epoch parity --------------------------- #
+
+@pytest.mark.parametrize(
+    "variant", ["default", "keep_topk_only", "noop_scatter", "precomputed"]
+)
+def test_epoch_parity_vs_per_row_paths(rng, variant):
+    """Two jitted epochs with dedup on vs off: identical metrics, collision
+    counts, and updated parameters (count-weighted gradients are exact)."""
+    exp = experiment_from_grid_id(4061)
+    model = _cfg()
+    if variant == "keep_topk_only":
+        model = dataclasses.replace(model, keep_topk_only=True)
+    if variant == "noop_scatter":
+        model = dataclasses.replace(model, topk_scatter=TopkScatterMode.NOOP)
+    train = dataclasses.replace(exp.train, epochs=2)
+    exp = dataclasses.replace(exp, model=model, train=train)
+
+    p = 300
+    coords = rng.random((p, 2)).astype(np.float32)
+    targets = rng.random((p, 3)).astype(np.float32)
+    perm = np.random.default_rng(0).permutation(p).astype(np.int32)
+
+    results = {}
+    for mode in ("dedup", "per_row"):
+        m = dataclasses.replace(model, dedup_vertices=(mode == "dedup"))
+        e = dataclasses.replace(exp, model=m)
+        statics = gngf.make_statics(m)
+        precomp = mode == "dedup" and variant == "precomputed"
+        batches = build_epoch_batches(
+            coords, targets, 1 / 3, perm,
+            model_cfg=m if precomp else None,
+            statics=statics if precomp else None,
+        )
+        if precomp:
+            assert batches.dedup_ids is not None
+        init_state, make_jitted = make_epoch_fn(e, statics)
+        state, tx = init_state(jax.random.PRNGKey(7))
+        epoch = make_jitted(tx, p)
+        for _ in range(2):
+            state, metrics, _ = epoch(state, batches)
+        results[mode] = (state, metrics)
+
+    sd, md = results["dedup"]
+    sr, mr = results["per_row"]
+    np.testing.assert_allclose(float(md.loss), float(mr.loss), rtol=1e-5)
+    np.testing.assert_allclose(float(md.mse), float(mr.mse), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(md.js_kl_per_level), np.asarray(mr.js_kl_per_level),
+        rtol=1e-4, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(md.collisions), np.asarray(mr.collisions)
+    )
+    np.testing.assert_allclose(
+        np.asarray(md.image), np.asarray(mr.image), rtol=1e-5, atol=1e-6
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(sd.params),
+        jax.tree_util.tree_leaves_with_path(sr.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-7,
+            err_msg=f"param {jax.tree_util.keystr(pa)}",
+        )
+
+
+def test_dedup_disabled_for_batchnorm_and_scaled():
+    assert not gngf.dedup_enabled(_cfg(batchnorm_input=True))
+    assert not gngf.dedup_enabled(_cfg(use_hash_function=True))
+    # scaled table: U * T above the dense threshold -> streaming paths
+    from collision_handling_in_instantngp_tpu.config import (
+        instantngp_scaled_model,
+    )
+
+    assert not gngf.dedup_enabled(instantngp_scaled_model())
+    assert gngf.make_statics(instantngp_scaled_model()).unique_coords is None

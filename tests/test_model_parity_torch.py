@@ -11,9 +11,12 @@ MSE + marginal JS/KL loss).
 The torch model here is written from the SURVEY.md formulas — it is a test
 oracle, not a copy of the reference code."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 import torch
 
 from collision_handling_in_instantngp_tpu.config import LossConfig, ModelConfig
@@ -128,9 +131,13 @@ def _torch_forward_and_loss(params, x_np, y_np, prev_coll, prev_min):
     return out.detach().numpy(), float(total), grads
 
 
-def test_forward_and_grad_parity(rng):
-    statics = gngf.make_statics(CFG)
-    params = gngf.init_params(jax.random.PRNGKey(42), CFG)
+@pytest.mark.parametrize("dedup", [False, True])
+def test_forward_and_grad_parity(rng, dedup):
+    """Both the dense per-row path and the unique-vertex dedup path must match
+    torch autograd through the identical pipeline."""
+    cfg = dataclasses.replace(CFG, dedup_vertices=dedup)
+    statics = gngf.make_statics(cfg)
+    params = gngf.init_params(jax.random.PRNGKey(42), cfg)
 
     p = 50
     x_np = rng.random((p, 2), dtype=np.float32)
@@ -139,11 +146,11 @@ def test_forward_and_grad_parity(rng):
     prev_min = np.array([0.0, 0.0, 5.0, 10.0], np.float32)
 
     def jax_loss(params):
-        out = gngf.forward(params, jnp.asarray(x_np), CFG, statics)
+        out = gngf.forward(params, jnp.asarray(x_np), cfg, statics)
         aux = compute_loss(
             out.rgb, jnp.asarray(y_np), out.probs,
             jnp.asarray(prev_coll), jnp.asarray(prev_min), LCFG,
-            CFG.num_levels,
+            cfg.num_levels, marginals=out.marginal,
         )
         return aux.total, out.rgb
 
