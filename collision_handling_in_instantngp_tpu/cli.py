@@ -89,9 +89,20 @@ def main(argv=None) -> int:
     stamp = args.wandb_name or time.strftime("%Y%m%d%H%M%S")
 
     def logger_factory(exp):
-        if args.is_test or args.logger == "null":
+        if args.is_test:
+            # reference -t shows og-vs-output + histogram panels interactively
+            # every epoch (functions.py:696-715); the headless equivalent is a
+            # media-saving local log (train image + per-level histogram
+            # figures at the histogram cadence + final epoch) plus the
+            # end-of-run comparison figure below
+            return make_logger(
+                "jsonl", path=f"runs/{image_name}_{exp.grid_id}_test.jsonl"
+            )
+        if args.logger == "null":
             return make_logger("null")
         if args.logger == "wandb":
+            from .config import reference_wandb_config
+
             return make_logger(
                 "wandb",
                 path=f"runs/{image_name}_{exp.grid_id}.jsonl",
@@ -100,7 +111,9 @@ def main(argv=None) -> int:
                     project=args.wandb_project,
                     group=image_name,
                     name=f"{stamp}_{exp.grid_id}",
-                    config=exp.as_flat_dict(),
+                    config=reference_wandb_config(
+                        exp, image_name=image_name, bw=args.should_bw
+                    ),
                 ),
             )
         return make_logger("jsonl", path=f"runs/{image_name}_{exp.grid_id}.jsonl")

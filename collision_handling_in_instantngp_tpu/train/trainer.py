@@ -209,7 +209,24 @@ def fit(
             slot_c, cell_c = stats_fn(indices_all, jax.numpy.asarray(flat_coords))
             slot_c = np.asarray(slot_c)
             for l in range(mcfg.num_levels):
-                log[f"hist_counts_level{l}"] = slot_c[l]
+                log[f"hist_counts_level{l}_counts"] = slot_c[l]
+            if not isinstance(logger, NullLogger):
+                # reference schema parity: the reconstructed train image
+                # (functions.py:718-721 — logged there every epoch; here on
+                # histogram epochs to keep the device->host image transfer
+                # off the hot path) and the per-level histogram FIGURES
+                # under hist_counts_level{l} (functions.py:749-757)
+                log["train_image"] = to_uint8_image(
+                    np.asarray(metrics.image), data.height, data.width,
+                    data.channels,
+                )
+                from ..utils.histograms import counts_per_level_histograms
+
+                figs = counts_per_level_histograms(
+                    slot_c, mcfg.hash_table_size
+                )
+                for l, fig in enumerate(figs):
+                    log[f"hist_counts_level{l}"] = fig
 
         logger.log(log, step=e)
         if collect_history:

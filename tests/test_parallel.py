@@ -68,9 +68,10 @@ def test_dp_invariance(rng, exp):
     np.testing.assert_allclose(losses_8dev, losses_1dev, rtol=2e-5)
 
 
-def test_table_tp_runs(rng, exp):
-    """Slot-sharded tables (model axis) execute and stay close to the
-    replicated result."""
+def test_table_tp_matches_replicated(rng, exp):
+    """Slot-sharded tables (model axis) must produce the SAME loss trajectory
+    and the SAME updated parameters as unsharded execution — a slot-sharded
+    gather/segment-sum that mangled gradients would fail here."""
     statics = gngf.make_statics(exp.model)
     coords, img, perm, p = _tiny_problem(rng)
     batches = build_epoch_batches(coords, img, 1 / 3, perm)
@@ -79,9 +80,33 @@ def test_table_tp_runs(rng, exp):
     state, tx = init_state(jax.random.PRNGKey(65535))
     epoch = make_jitted(tx, p)
 
+    # unsharded reference trajectory
+    s1 = jax.tree_util.tree_map(lambda x: x, state)
+    losses_ref = []
+    for _ in range(3):
+        s1, m1, _ = epoch(s1, batches)
+        losses_ref.append(float(m1.loss))
+
+    # (data=4, model=2) mesh with tables slot-sharded over the model axis
     mesh = make_mesh(model_parallel=2)
     s, b = shard_state_and_batches(state, batches, mesh, shard_tables=True)
-    s, m, _ = epoch(s, b)
-    assert np.isfinite(float(m.loss))
+    losses_tp = []
+    for _ in range(3):
+        s, m, _ = epoch(s, b)
+        losses_tp.append(float(m.loss))
+
+    np.testing.assert_allclose(losses_tp, losses_ref, rtol=2e-5)
     # tables keep their sharding through the optimizer update
     assert s.params["tables"].shape == state.params["tables"].shape
+    # updated parameters agree leaf-by-leaf with the replicated run
+    for (path, a), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(s.params),
+        jax.tree_util.tree_leaves_with_path(s1.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-7,
+            err_msg=f"param {jax.tree_util.keystr(path)}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(m.collisions), np.asarray(m1.collisions)
+    )
