@@ -32,7 +32,7 @@ from ..ops.grid import resolution_ladder, scale_to_grid, voxel_corner_offsets
 from ..ops.hashing import fast_hash
 from ..ops.interpolate import bilinear_coeffs, interpolate
 from . import encoding as enc
-from .hpd import apply_hpd, apply_hpd_fused, init_hpd
+from .hpd import apply_hpd, apply_hpd_fused, apply_hpd_unique, init_hpd
 from .mlp import apply_mlp, init_mlp
 
 BN_EPS = 1e-5       # torch BatchNorm1d defaults (reference models.py:340)
@@ -72,16 +72,13 @@ class ForwardOut(NamedTuple):
 
 def dedup_enabled(cfg: ModelConfig) -> bool:
     """Whether the unique-vertex dedup path applies (see ops/dedup.py): the
-    GNGF path with statically-bounded vertex coords (no batchnorm) and a dense
-    (U, T) probability table small enough to materialize. Scaled-table configs
-    past the threshold use the streaming/fused per-row paths instead."""
+    GNGF path with statically-bounded vertex coords (no batchnorm). Small
+    tables evaluate the (U, T) probabilities densely; scaled tables stream
+    the fused tail over unique rows (models/hpd.py apply_hpd_unique)."""
     return (
         cfg.dedup_vertices
         and not cfg.use_hash_function
         and not cfg.batchnorm_input
-        and dedup_ops.num_unique(cfg.n_max, cfg.input_dim)
-        * cfg.hash_table_size
-        <= (1 << 25)
     )
 
 
@@ -184,7 +181,19 @@ def forward(
     marginal = None
     idx_unique = None
     dedup_counts = None
-    use_dedup = dedup_enabled(cfg) and statics.unique_coords is not None
+    # dedup must SAVE work: engage when the duplicated row count exceeds the
+    # unique-vertex count (always true for real images; tiny render/test
+    # tiles fall back to the per-row paths), or when precomputed geometry was
+    # handed in
+    use_dedup = (
+        dedup_enabled(cfg)
+        and statics.unique_coords is not None
+        and (
+            dedup is not None
+            or x.shape[0] * cfg.num_corners * cfg.num_levels
+            > statics.unique_coords.shape[0]
+        )
+    )
     if cfg.use_hash_function:
         indices = fast_hash(corners, cfg.hash_table_size)          # (P,L,V)
         feats = enc.lookup_vanilla(params["tables"], indices)      # (P,L,V,F)
@@ -204,18 +213,24 @@ def forward(
             counts = (
                 dedup_ops.counts_jnp(ids, cfg.num_levels, u) if train else None
             )
-        probs_u, vals_u, idx_u = apply_hpd(params["hpd"], ucoords, cfg)
+        marginal_raw, vals_u, idx_u = apply_hpd_unique(
+            params["hpd"], ucoords, cfg, counts=counts
+        )
         feats_u = enc.blend_unique(params["tables"], idx_u, vals_u, cfg)
         feats = enc.gather_rows(feats_u, ids)                      # (P,L,V,F)
         indices = jnp.take(idx_u, ids, axis=0)                     # (P,L,V,K)
         probs, topk_values = None, None
         if counts is not None:
             # per-level loss marginal (reference utils.py:138) as a single
-            # counts @ probs matmul; under keep_topk_only the marginal runs
-            # over the K selected values instead (functions.py:230)
+            # counts-weighted reduction; under keep_topk_only the marginal
+            # runs over the K selected values instead (functions.py:230)
             rows = x.shape[0] * cfg.num_corners
-            src = vals_u if cfg.keep_topk_only else probs_u
-            marginal = (counts @ src) / rows
+            if cfg.keep_topk_only:
+                marginal = (
+                    jnp.matmul(counts, vals_u, precision="highest") / rows
+                )
+            else:
+                marginal = marginal_raw / rows
         idx_unique, dedup_counts = idx_u, counts
     else:
         # the NOOP straight-through quirk (reference models.py:31) zeroes the

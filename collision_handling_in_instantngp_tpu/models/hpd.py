@@ -15,9 +15,13 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig, TopkScatterMode
-from ..ops.fused_hpd import hpd_tail
+from ..ops.fused_hpd import hpd_tail, hpd_tail_unique
 from ..ops.topk import differentiable_topk, differentiable_topk_noop_grad
 from .mlp import MLPParams, apply_mlp, init_mlp
+
+# dense (U, T) probability tables past this many elements stream instead
+# (scaled-table configs, BASELINE config 4)
+DEDUP_DENSE_MAX_ELEMENTS = 1 << 25
 
 
 def init_hpd(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> MLPParams:
@@ -55,6 +59,68 @@ def apply_hpd(
     else:
         values, indices = differentiable_topk(probs, cfg.topk_k, cfg.hash_table_size)
     return probs, values, indices
+
+
+def apply_hpd_unique(
+    params: MLPParams,
+    ucoords: jnp.ndarray,
+    cfg: ModelConfig,
+    counts=None,
+):
+    """HPD on UNIQUE vertices (ops/dedup.py): same math as :func:`apply_hpd`
+    on (U, d) rows. Small tables run dense; scaled tables stream the tail so
+    the (U, T) probability tensor never materializes.
+
+    Args:
+      ucoords: (U, d) unique integer vertex coords.
+      counts: (L, U) per-level occurrence counts, or None (inference — no
+        marginal needed).
+
+    Returns:
+      (marginal_raw, values, indices): marginal_raw is the UNNORMALIZED
+      count-weighted (L, T) marginal (None when counts is None or under
+      keep_topk_only — callers marginalize the values instead); values/indices
+      are (U, K).
+    """
+    u = ucoords.shape[0]
+    t = cfg.hash_table_size
+    stream = cfg.hpd_backend == "unique_stream" or (
+        cfg.hpd_backend == "auto" and u * t > DEDUP_DENSE_MAX_ELEMENTS
+    )
+    noop = cfg.topk_scatter is TopkScatterMode.NOOP
+
+    if not stream:
+        probs_u, values, indices = apply_hpd(params, ucoords, cfg)
+        marginal_raw = None
+        if counts is not None and not cfg.keep_topk_only:
+            marginal_raw = jnp.matmul(counts, probs_u, precision="highest")
+        return marginal_raw, values, indices
+
+    # streaming: remat the hidden stack (cheap to recompute vs storing the
+    # (U, H) intermediates for scaled configs where HBM is the constraint)
+    @jax.checkpoint
+    def hidden_stack(rows, hidden_layers):
+        h = rows
+        for layer in hidden_layers:
+            h = jax.nn.relu(
+                jnp.matmul(h, layer["w"], precision=cfg.matmul_precision)
+                + layer["b"]
+            )
+        return h
+
+    h = hidden_stack(ucoords, params[:-1])
+    counts_in = (
+        counts
+        if counts is not None
+        else jnp.zeros((1, u), jnp.float32)
+    )
+    marginal_raw, values, indices = hpd_tail_unique(
+        h, params[-1]["w"], params[-1]["b"], counts_in,
+        cfg.topk_k, cfg.matmul_precision, noop,
+    )
+    if counts is None or cfg.keep_topk_only:
+        marginal_raw = None
+    return marginal_raw, values, indices
 
 
 def apply_hpd_fused(

@@ -211,3 +211,134 @@ def hpd_tail_dense_reference(h, w, b, k, precision="highest"):
     marginal = jnp.mean(p, axis=1)
     vals, idx = jax.lax.top_k(p, k)
     return marginal, vals, idx.astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------- #
+# Unique-vertex streaming tail (scaled-table configs)                         #
+# --------------------------------------------------------------------------- #
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def hpd_tail_unique(
+    h: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    counts: jnp.ndarray,
+    k: int,
+    precision: str,
+    noop_topk: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Streaming fused tail over UNIQUE vertices (see ops/dedup.py).
+
+    The scaled-table analog of :func:`hpd_tail`: rows are the U unique grid
+    vertices shared across levels, and the per-level loss marginal is the
+    count-weighted sum ``m_l = counts_l @ p`` (the dedup identity for
+    reference utils.py:138). The dense (U, T) probability tensor never reaches
+    HBM — each chunk's softmax is recomputed in the backward.
+
+    Args:
+      h: (U, H) last hidden activations per unique vertex.
+      w: (H, T) head weight;  b: (T,) bias.
+      counts: (L, U) per-level vertex occurrence counts (constant geometry).
+      k: top-k width.  precision: matmul precision.
+      noop_topk: reference ``should_inplace_scatter=None`` quirk
+        (models.py:31) — the straight-through top-k backward is dropped (the
+        marginal gradient still flows).
+
+    Returns:
+      marginal_raw (L, T) — UNNORMALIZED count-weighted marginal (callers
+        divide by the per-level row count), topk vals (U, K), idx (U, K).
+    """
+    out, _ = _unique_fwd_impl(h, w, b, counts, k, precision)
+    return out
+
+
+def _unique_chunk_rows(t: int) -> int:
+    return int(max(256, min(CHUNK_ROWS, _TILE_BUDGET // max(t, 1))))
+
+
+def _unique_fwd_impl(h, w, b, counts, k, precision):
+    u, hd = h.shape
+    t = w.shape[1]
+    chunk = _unique_chunk_rows(t)
+    pad = (-u) % chunk
+    # padded rows carry zero counts -> zero marginal weight; their top-k
+    # outputs are sliced off below
+    h_pad = jnp.pad(h, ((0, pad), (0, 0)))
+    counts_pad = jnp.pad(counts, ((0, 0), (0, pad)))
+    c = h_pad.shape[0] // chunk
+    h_chunks = h_pad.reshape(c, chunk, hd)
+    counts_chunks = jnp.moveaxis(
+        counts_pad.reshape(counts.shape[0], c, chunk), 1, 0
+    )                                                       # (C, L, R)
+
+    def body(marg, xs):
+        h_chunk, counts_chunk = xs
+        logits = jnp.matmul(h_chunk, w, precision=precision) + b     # (R, T)
+        p = jnp.nan_to_num(jax.nn.softmax(logits, axis=-1))
+        marg = marg + jnp.matmul(counts_chunk, p, precision=precision)
+        vals, idx = jax.lax.top_k(p, k)
+        return marg, (vals, idx.astype(jnp.int32))
+
+    marg0 = jnp.zeros((counts.shape[0], t), jnp.float32)
+    marg, (vals, idx) = jax.lax.scan(body, marg0, (h_chunks, counts_chunks))
+    vals = vals.reshape(c * chunk, k)[:u]
+    idx = idx.reshape(c * chunk, k)[:u]
+    return (marg, vals, idx), None
+
+
+def _unique_fwd(h, w, b, counts, k, precision, noop_topk=False):
+    out, _ = _unique_fwd_impl(h, w, b, counts, k, precision)
+    _, _, idx = out
+    return out, (h, w, b, counts, idx)
+
+
+def _unique_bwd(k, precision, noop_topk, residuals, cotangents):
+    h, w, b, counts, idx = residuals
+    g_marg, g_vals, _g_idx = cotangents
+    u, hd = h.shape
+    t = w.shape[1]
+    l = counts.shape[0]
+    chunk = _unique_chunk_rows(t)
+    pad = (-u) % chunk
+    h_pad = jnp.pad(h, ((0, pad), (0, 0)))
+    counts_pad = jnp.pad(counts, ((0, 0), (0, pad)))
+    idx_pad = jnp.pad(idx, ((0, pad), (0, 0)))
+    gv_pad = jnp.pad(g_vals, ((0, pad), (0, 0)))
+    c = h_pad.shape[0] // chunk
+
+    h_chunks = h_pad.reshape(c, chunk, hd)
+    counts_chunks = jnp.moveaxis(counts_pad.reshape(l, c, chunk), 1, 0)
+    idx_chunks = idx_pad.reshape(c, chunk, k)
+    gv_chunks = gv_pad.reshape(c, chunk, k)
+    g_marg = g_marg.astype(jnp.float32)                     # (L, T)
+
+    def body(carry, xs):
+        dw, db = carry
+        h_chunk, counts_chunk, idx_chunk, gv_chunk = xs
+        logits = jnp.matmul(h_chunk, w, precision=precision) + b
+        p = jnp.nan_to_num(jax.nn.softmax(logits, axis=-1))          # (R, T)
+        # marginal cotangent: d m_l / d p_row = counts_l[row] * g_marg_l
+        g_p = jnp.matmul(
+            counts_chunk.T, g_marg, precision=precision
+        )                                                            # (R, T)
+        if not noop_topk:
+            g_p = g_p + jnp.put_along_axis(
+                jnp.zeros_like(p), idx_chunk, gv_chunk.astype(p.dtype),
+                axis=-1, inplace=False,
+            )
+        dlogits = p * (g_p - jnp.sum(g_p * p, axis=-1, keepdims=True))
+        dh_chunk = jnp.matmul(dlogits, w.T, precision=precision)
+        dw = dw + jnp.matmul(h_chunk.T, dlogits, precision=precision)
+        db = db + jnp.sum(dlogits, axis=0)
+        return (dw, db), dh_chunk
+
+    (dw, db), dh_chunks = jax.lax.scan(
+        body,
+        (jnp.zeros((hd, t), h.dtype), jnp.zeros((t,), h.dtype)),
+        (h_chunks, counts_chunks, idx_chunks, gv_chunks),
+    )
+    dh = dh_chunks.reshape(c * chunk, hd)[:u]
+    return dh, dw, db, jnp.zeros_like(counts)
+
+
+hpd_tail_unique.defvjp(_unique_fwd, _unique_bwd)

@@ -132,6 +132,9 @@ def build_epoch_batches(
         and statics is not None
         and gngf.dedup_enabled(model_cfg)
         and statics.unique_coords is not None
+        # precompute only when dedup actually engages (rows > unique count)
+        and b * model_cfg.num_corners * model_cfg.num_levels
+        > statics.unique_coords.shape[0]
     ):
         ids_list, counts_list = [], []
         for bi in range(num_batches):
@@ -185,6 +188,20 @@ def make_epoch_fn(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def epoch_fn(state: TrainState, batches: EpochBatches, num_pixels, tx_update):
+        # mirror forward's work-based gate (gngf.forward): dedup engages when
+        # geometry was precomputed, or when the duplicated row count exceeds
+        # the unique-vertex count; batch shape is static under jit so this
+        # resolves at trace time
+        dedup_active = (
+            use_dedup
+            and statics.unique_coords is not None
+            and (
+                batches.dedup_ids is not None
+                or batches.x.shape[1] * mcfg.num_corners * mcfg.num_levels
+                > statics.unique_coords.shape[0]
+            )
+        )
+
         def body(carry, batch):
             params, opt_state, bn_state = carry
             bx, by, nvalid, dids, dcounts = batch
@@ -199,7 +216,7 @@ def make_epoch_fn(
             )
             updates, opt_state = tx_update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            if use_dedup:
+            if dedup_active:
                 # per-batch used-slot presence: the collision statistic
                 # reduces to tiny (L, U) x (U, K, T) contractions on unique
                 # vertices instead of a scan over every pixel row
@@ -230,7 +247,7 @@ def make_epoch_fn(
         image = rgb_all.reshape(nb * b, -1)[batches.gather_idx]
         indices_all = idx_all.reshape((nb * b,) + idx_all.shape[2:])
 
-        if use_dedup:
+        if dedup_active:
             # union over batches == used-slot sets over every epoch row (each
             # batch evaluated with its own params, like the serial reference)
             collisions = dedup_ops.collisions_from_presence(

@@ -195,13 +195,97 @@ def test_epoch_parity_vs_per_row_paths(rng, variant):
         )
 
 
-def test_dedup_disabled_for_batchnorm_and_scaled():
+def test_dedup_disabled_for_batchnorm_and_hash():
     assert not gngf.dedup_enabled(_cfg(batchnorm_input=True))
     assert not gngf.dedup_enabled(_cfg(use_hash_function=True))
-    # scaled table: U * T above the dense threshold -> streaming paths
+    # scaled table: dedup applies too (the streaming tail handles large U*T)
     from collision_handling_in_instantngp_tpu.config import (
         instantngp_scaled_model,
     )
 
-    assert not gngf.dedup_enabled(instantngp_scaled_model())
-    assert gngf.make_statics(instantngp_scaled_model()).unique_coords is None
+    scaled = instantngp_scaled_model()
+    assert gngf.dedup_enabled(scaled)
+    uc = gngf.make_statics(scaled).unique_coords
+    assert uc is not None and uc.shape == ((scaled.n_max + 2) ** 2, 2)
+
+
+# ------------------------ streaming tail (scaled) --------------------------- #
+
+@pytest.mark.parametrize("keep_topk_only", [False, True])
+def test_unique_stream_matches_dense(rng, keep_topk_only):
+    """The streaming unique tail (scaled-table path) must match the dense
+    unique path in forward outputs AND parameter gradients."""
+    cfg_dense = _cfg(
+        keep_topk_only=keep_topk_only, n_max=16, hash_table_size=128,
+        hpd_backend="jax",
+    )
+    cfg_stream = dataclasses.replace(cfg_dense, hpd_backend="unique_stream")
+    statics = gngf.make_statics(cfg_dense)
+    params = gngf.init_params(jax.random.PRNGKey(3), cfg_dense)
+    x = _coords(rng, 200)
+    y = jnp.asarray(rng.random((200, 3)).astype(np.float32))
+    lcfg = experiment_from_grid_id(4061).loss
+
+    def loss(params, cfg):
+        out = gngf.forward(params, x, cfg, statics, train=True)
+        aux = compute_loss(
+            out.rgb, y, out.probs, jnp.zeros(4), jnp.zeros(4), lcfg,
+            cfg.num_levels, marginals=out.marginal,
+        )
+        return aux.total, out
+
+    (l_d, out_d), g_d = jax.value_and_grad(loss, has_aux=True)(params, cfg_dense)
+    (l_s, out_s), g_s = jax.value_and_grad(loss, has_aux=True)(params, cfg_stream)
+
+    np.testing.assert_allclose(float(l_s), float(l_d), rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(out_s.indices), np.asarray(out_d.indices)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.marginal), np.asarray(out_d.marginal),
+        rtol=1e-5, atol=1e-8,
+    )
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_s),
+        jax.tree_util.tree_leaves_with_path(g_d),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7,
+            err_msg=f"grad {jax.tree_util.keystr(pa)}",
+        )
+
+
+def test_unique_stream_noop_scatter(rng):
+    """NOOP quirk under streaming: top-k straight-through gradient dropped,
+    marginal gradient kept — matches the dense NOOP path."""
+    from collision_handling_in_instantngp_tpu.config import TopkScatterMode
+
+    cfg_dense = _cfg(
+        n_max=16, hash_table_size=128, hpd_backend="jax",
+        topk_scatter=TopkScatterMode.NOOP,
+    )
+    cfg_stream = dataclasses.replace(cfg_dense, hpd_backend="unique_stream")
+    statics = gngf.make_statics(cfg_dense)
+    params = gngf.init_params(jax.random.PRNGKey(3), cfg_dense)
+    x = _coords(rng, 150)
+    y = jnp.asarray(rng.random((150, 3)).astype(np.float32))
+    lcfg = experiment_from_grid_id(4061).loss
+
+    def loss(params, cfg):
+        out = gngf.forward(params, x, cfg, statics, train=True)
+        aux = compute_loss(
+            out.rgb, y, out.probs, jnp.zeros(4), jnp.zeros(4), lcfg,
+            cfg.num_levels, marginals=out.marginal,
+        )
+        return aux.total
+
+    g_d = jax.grad(loss)(params, cfg_dense)
+    g_s = jax.grad(loss)(params, cfg_stream)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_s),
+        jax.tree_util.tree_leaves_with_path(g_d),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7,
+            err_msg=f"grad {jax.tree_util.keystr(pa)}",
+        )
