@@ -33,7 +33,13 @@ def main() -> None:
              "(BASELINE config 1); scaled: InstantNGP-scale tables "
              "(BASELINE config 4).",
     )
-    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument(
+        "--span", type=int, default=10,
+        help="Epochs per jitted device call (lax.scan over epochs — the "
+             "trainer's epoch_span). Amortizes per-call dispatch latency; "
+             "1 = one call per epoch (round-1 measurement mode).",
+    )
     args = ap.parse_args()
 
     import jax
@@ -78,20 +84,33 @@ def main() -> None:
 
     init_state, make_jitted = make_epoch_fn(exp, statics)
     state, tx = init_state(jax.random.PRNGKey(exp.train.seed))
-    epoch = make_jitted(tx, data.num_pixels)
+    span = max(1, args.span)
+    if span == 1:
+        epoch = make_jitted(tx, data.num_pixels)
+
+        def run_one(st):
+            st, metrics, _ = epoch(st, batches)
+            return st, metrics.loss
+    else:
+        epoch = make_jitted(tx, data.num_pixels, span=span)
+
+        def run_one(st):
+            st, smetrics, _, _ = epoch(st, batches)
+            return st, smetrics.loss[-1]
 
     # warmup (compile + cache; axon remote execution is async, so force a
     # device->host transfer — block_until_ready alone does not drain the tunnel)
     for _ in range(3):
-        state, metrics, _ = epoch(state, batches)
-        float(metrics.loss)
+        state, loss = run_one(state)
+        float(loss)
 
-    n_epochs = args.epochs
+    n_calls = max(1, args.epochs // span)
     t0 = time.perf_counter()
-    for _ in range(n_epochs):
-        state, metrics, _ = epoch(state, batches)
-    float(metrics.loss)  # forces the whole dependent chain
+    for _ in range(n_calls):
+        state, loss = run_one(state)
+    float(loss)  # forces the whole dependent chain
     dt = time.perf_counter() - t0
+    n_epochs = n_calls * span
 
     n_chips = max(len(jax.devices()), 1)
     pixels_per_s_per_chip = n_epochs * data.num_pixels / dt / n_chips

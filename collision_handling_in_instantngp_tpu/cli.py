@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="-1 = auto-shard by jax.process_index (multi-host).")
     p.add_argument("--shard-count", type=int, default=1,
                    help="-1 = auto (jax.process_count).")
+    p.add_argument("--epoch_span", type=int, default=1,
+                   help="Epochs per device call (lax.scan over epochs). >1 "
+                        "amortizes host dispatch latency; logging/early-stop "
+                        "still evaluate per epoch (see trainer.fit).")
     p.add_argument("--platform", type=str, default="auto",
                    choices=["auto", "cpu", "tpu"],
                    help="Force the JAX platform (the environment may pin a "
@@ -131,6 +135,7 @@ def main(argv=None) -> int:
         shard_index=None if args.shard_index < 0 else args.shard_index,
         shard_count=None if args.shard_count < 0 else args.shard_count,
         progress=sys.stdout.isatty(),
+        epoch_span=args.epoch_span,
     )
     for row in results:
         print(f"grid {row['grid_id']}: best PSNR {row['best_psnr']:.3f} "

@@ -64,6 +64,7 @@ def run_grid_search(
     shard_count: Optional[int] = 1,
     verbose: bool = True,
     progress: bool = False,
+    epoch_span: int = 1,
 ) -> List[Dict[str, Any]]:
     """Sweep configs [start_id, end_id] (inclusive start, exclusive end like the
     reference's slice at functions.py:503). Returns one summary row per config
@@ -114,6 +115,7 @@ def run_grid_search(
             collect_history=False,
             verbose=verbose,
             progress=progress,
+            epoch_span=epoch_span,
         )
         row = {
             "grid_id": grid_id,

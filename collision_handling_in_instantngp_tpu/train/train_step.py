@@ -76,6 +76,22 @@ class TrainState(NamedTuple):
     prev_min_possible: jnp.ndarray    # (L,) float32 (constant after epoch 0)
 
 
+class SpanMetrics(NamedTuple):
+    """Per-epoch scalar metrics for a jitted multi-epoch span (leading axis =
+    epochs in the span). The full-image prediction and slot indices are NOT
+    stacked (they would be span x ~50 MB of HBM); the span fn returns only the
+    LAST epoch's alongside these."""
+
+    loss: jnp.ndarray                 # (S,)
+    mse: jnp.ndarray                  # (S,)
+    js_kl_per_level: jnp.ndarray      # (S, L)
+    coll_loss_per_level: jnp.ndarray  # (S, L)
+    collisions: jnp.ndarray           # (S, L)
+    min_possible: jnp.ndarray         # (S, L)
+    int_sq_err: jnp.ndarray           # (S,)
+    match_count: jnp.ndarray          # (S,)
+
+
 class EpochMetrics(NamedTuple):
     loss: jnp.ndarray                 # scalar, mean over batches (functions.py:288)
     mse: jnp.ndarray                  # scalar, mean over batches
@@ -306,10 +322,44 @@ def make_epoch_fn(
         )
         return state, tx
 
-    def make_jitted(tx: optax.GradientTransformation, num_pixels: int):
-        return jax.jit(
-            functools.partial(epoch_fn, num_pixels=num_pixels, tx_update=tx.update)
+    def make_jitted(
+        tx: optax.GradientTransformation,
+        num_pixels: int,
+        span: Optional[int] = None,
+    ):
+        """span=None: one device call per epoch (exact reference cadence).
+        span=S: ONE device call executes S epochs via lax.scan and returns
+        (state', SpanMetrics stacked over the S epochs, last_image,
+        last_indices) — this amortizes the per-call dispatch/transfer latency
+        of the host<->device link, which dominates wall-clock for this tiny
+        model (the reference pays ~10 host syncs per epoch,
+        functions.py:247-267; we pay ~1 per S epochs)."""
+        step = functools.partial(
+            epoch_fn, num_pixels=num_pixels, tx_update=tx.update
         )
+        if span is None:
+            return jax.jit(step)
+
+        def multi(state: TrainState, batches: EpochBatches):
+            _, m_shape, idx_shape = jax.eval_shape(step, state, batches)
+            img0 = jnp.zeros(m_shape.image.shape, m_shape.image.dtype)
+            idx0 = jnp.zeros(idx_shape.shape, idx_shape.dtype)
+
+            def body(carry, _):
+                st, _, _ = carry
+                st2, m, idx = step(st, batches)
+                scal = SpanMetrics(
+                    m.loss, m.mse, m.js_kl_per_level, m.coll_loss_per_level,
+                    m.collisions, m.min_possible, m.int_sq_err, m.match_count,
+                )
+                return (st2, m.image, idx), scal
+
+            (st, img, idx), scal = jax.lax.scan(
+                body, (state, img0, idx0), None, length=span
+            )
+            return st, scal, img, idx
+
+        return jax.jit(multi)
 
     return init_state, make_jitted
 

@@ -64,11 +64,26 @@ def fit(
     collect_history: bool = True,
     verbose: bool = True,
     progress: bool = False,
+    epoch_span: int = 1,
 ) -> FitResult:
     """Train one configuration to convergence (reference functions.py:540-814).
 
     progress=True shows a tqdm bar with live PSNR (reference
-    functions.py:648, 694)."""
+    functions.py:648, 694).
+
+    epoch_span=S>1 executes S epochs per device call (lax.scan over epochs,
+    train_step.make_jitted(span=S)) and processes the S per-epoch scalar rows
+    on the host afterwards — amortizing the per-call dispatch latency that
+    dominates wall-clock for these tiny models. Logging cadence, PSNR/best
+    tracking, early stopping and the zero-collision abort all still evaluate
+    PER EPOCH from the stacked scalars; histogram ("counts") epochs always run
+    as singleton calls so their indices/image come from the right epoch. Two
+    documented divergences from span=1: (a) if a stop condition fires at epoch
+    j inside a span, up to S-1 further epochs have already executed on device
+    (epochs_run/metrics reflect the stop epoch; the returned state reflects
+    the span end), and (b) best-PSNR checkpoints snapshot the span-end params
+    rather than the exact best epoch's. Use span=1 for exact reference
+    cadence."""
     logger = logger or NullLogger()
     tcfg, mcfg, lcfg = exp.train, exp.model, exp.loss
     epochs = epochs if epochs is not None else tcfg.epochs
@@ -124,134 +139,190 @@ def fit(
     check_last2: List[bool] = []
     zero_coll_abort = False
     epochs_run = 0
-    last_metrics = None
     train_loss = float("nan")
     train_psnr = float("nan")
     og_max = float(np.max(data.image))
     values_per_img = data.num_pixels * data.channels
 
-    epoch_iter = range(epochs)
     pbar = None
     if progress:
         try:
             from tqdm import tqdm
 
-            pbar = tqdm(epoch_iter)
-            epoch_iter = pbar
+            pbar = tqdm(total=epochs)
         except ImportError:
             pass
 
-    for e in epoch_iter:
-        should_counts = (
-            (e == epochs - 1) or (e % tcfg.histograms_rate == 0)
+    span_fns: Dict[int, Any] = {}
+
+    def run_span(st, n):
+        fn = span_fns.get(n)
+        if fn is None:
+            fn = make_jitted(tx, data.num_pixels, span=n)
+            span_fns[n] = fn
+        return fn(st, batches)
+
+    rate = tcfg.histograms_rate
+    last_image_dev = None
+    stop_now = False
+    e = 0
+    while e < epochs and not stop_now:
+        # counts (histogram) epochs and the final epoch run as singleton
+        # calls so their indices/image belong to exactly that epoch; other
+        # epochs batch up to epoch_span per device call
+        if (
+            epoch_span <= 1 or e % rate == 0 or e >= epochs - 1
             or early_stopper.early_stop
-        )
+        ):
+            n = 1
+        else:
+            next_count = ((e // rate) + 1) * rate
+            n = max(1, min(epoch_span, next_count - e, (epochs - 1) - e))
 
-        state, metrics, indices_all = epoch_fn(state, batches)
-        last_metrics = metrics
-
-        # ONE host transfer for all scalar metrics (each device_get is a
-        # round-trip; the reference pays ~10 per epoch, functions.py:247-267)
-        (
-            train_loss, train_mse, js_kl, coll_loss, collisions, min_possible,
-            int_sq_err, match_count,
-        ) = (
-            np.asarray(v)
-            for v in jax.device_get(
-                (
-                    metrics.loss, metrics.mse, metrics.js_kl_per_level,
-                    metrics.coll_loss_per_level, metrics.collisions,
-                    metrics.min_possible, metrics.int_sq_err,
-                    metrics.match_count,
-                )
-            )
-        )
-        train_loss = float(train_loss)
-        # reference PSNR/accuracy formulas (functions.py:130-136) on the
-        # device-computed integer-image statistics
-        train_psnr = float(
-            20 * np.log10(og_max) - 10 * np.log10(max(int_sq_err, 1e-12))
-        )
-        train_accuracy = float(match_count) / values_per_img * 100.0
-        epochs_run = e + 1
-        if pbar is not None:
-            pbar.set_description(f"Training_psnr: {train_psnr}")
-
-        # zero-collision abort: last two levels collision-free for the first
-        # 10 checked epochs (reference functions.py:682-688)
-        if tcfg.zero_collision_abort and e != 0 and len(check_last2) < 10:
-            check_last2.append(bool(np.all(collisions[-2:] == 0)))
-            if len(check_last2) == 10 and all(check_last2):
-                if verbose:
-                    print(f"!!! Stopping at epoch: {e} because of 0 collisions!!!")
-                zero_coll_abort = True
-                early_stopper.early_stop = True
-
-        log: Dict[str, Any] = {
-            "train_loss": train_loss,
-            "train_accuracy": train_accuracy,
-            "train_psnr": train_psnr,
-            "mse_loss": float(train_mse),
-        }
-        if not mcfg.use_hash_function:
-            for l in range(mcfg.num_levels):
-                log[f"kl_div_loss_level{l}"] = float(js_kl[l])
-                log[f"collisions_loss_level{l}"] = float(coll_loss[l])
-                log[f"kl_collisions_loss_level{l}"] = float(
-                    lcfg.l_js_kl * js_kl[l] + lcfg.l_collisions * coll_loss[l]
-                )
-        for l in range(mcfg.num_levels):
-            log[f"collisions_level{l}"] = float(collisions[l])
-            log[f"min_possible_collisions_level{l}"] = float(min_possible[l])
-
-        if should_counts:
-            flat_coords = np.asarray(batches.x).reshape(-1, batches.x.shape[-1])
-            slot_c, cell_c = stats_fn(indices_all, jax.numpy.asarray(flat_coords))
-            slot_c = np.asarray(slot_c)
-            for l in range(mcfg.num_levels):
-                log[f"hist_counts_level{l}_counts"] = slot_c[l]
-            if not isinstance(logger, NullLogger):
-                # reference schema parity: the reconstructed train image
-                # (functions.py:718-721 — logged there every epoch; here on
-                # histogram epochs to keep the device->host image transfer
-                # off the hot path) and the per-level histogram FIGURES
-                # under hist_counts_level{l} (functions.py:749-757)
-                log["train_image"] = to_uint8_image(
-                    np.asarray(metrics.image), data.height, data.width,
-                    data.channels,
-                )
-                from ..utils.histograms import counts_per_level_histograms
-
-                figs = counts_per_level_histograms(
-                    slot_c, mcfg.hash_table_size
-                )
-                for l, fig in enumerate(figs):
-                    log[f"hist_counts_level{l}"] = fig
-
-        logger.log(log, step=e)
-        if collect_history:
-            history.append(
-                {k: v for k, v in log.items() if isinstance(v, (int, float))}
-            )
-
-        if train_psnr >= best_psnr:
-            best_psnr = train_psnr
-            if tcfg.save_params and run_dir is not None:
-                # keep the best state on device; throttle disk writes
-                best_snapshot = (state.params, state.opt_state, state.bn_state)
-                now = time.monotonic()
-                if now - last_ckpt_write >= tcfg.checkpoint_min_interval_s:
-                    ckpt.save_run_checkpoint(
-                        run_dir, *best_snapshot, model_cfg=mcfg
+        if n == 1:
+            state, metrics, indices_all = epoch_fn(state, batches)
+            # ONE host transfer for all scalar metrics (each device_get is a
+            # round-trip; the reference pays ~10 per epoch,
+            # functions.py:247-267)
+            scal = tuple(
+                np.asarray(v)[None]
+                for v in jax.device_get(
+                    (
+                        metrics.loss, metrics.mse, metrics.js_kl_per_level,
+                        metrics.coll_loss_per_level, metrics.collisions,
+                        metrics.min_possible, metrics.int_sq_err,
+                        metrics.match_count,
                     )
-                    last_ckpt_write = now
+                )
+            )
+            last_image_dev = metrics.image
+        else:
+            state, smetrics, last_image_dev, indices_all = run_span(state, n)
+            scal = tuple(np.asarray(v) for v in jax.device_get(tuple(smetrics)))
+        (
+            losses, mses, js_kls, coll_losses, collisions_arr,
+            min_possible_arr, int_sq_errs, match_counts,
+        ) = scal
 
-        if early_stopper.early_stop:
-            if verbose and not zero_coll_abort:
-                print(f"!!! Stopping at epoch: {e} !!!")
-            break
-        if e != 0:
-            early_stopper(train_loss)
+        for j in range(n):
+            ep = e + j
+            train_loss = float(losses[j])
+            js_kl, coll_loss = js_kls[j], coll_losses[j]
+            collisions, min_possible = collisions_arr[j], min_possible_arr[j]
+            int_sq_err = float(int_sq_errs[j])
+            # reference PSNR/accuracy formulas (functions.py:130-136) on the
+            # device-computed integer-image statistics
+            train_psnr = float(
+                20 * np.log10(og_max) - 10 * np.log10(max(int_sq_err, 1e-12))
+            )
+            train_accuracy = float(match_counts[j]) / values_per_img * 100.0
+            epochs_run = ep + 1
+            if pbar is not None:
+                pbar.update(1)
+                pbar.set_description(f"Training_psnr: {train_psnr}")
+
+            # zero-collision abort: last two levels collision-free for the
+            # first 10 checked epochs (reference functions.py:682-688)
+            if tcfg.zero_collision_abort and ep != 0 and len(check_last2) < 10:
+                check_last2.append(bool(np.all(collisions[-2:] == 0)))
+                if len(check_last2) == 10 and all(check_last2):
+                    if verbose:
+                        print(
+                            f"!!! Stopping at epoch: {ep} because of 0 "
+                            "collisions!!!"
+                        )
+                    zero_coll_abort = True
+                    early_stopper.early_stop = True
+
+            log: Dict[str, Any] = {
+                "train_loss": train_loss,
+                "train_accuracy": train_accuracy,
+                "train_psnr": train_psnr,
+                "mse_loss": float(mses[j]),
+            }
+            if not mcfg.use_hash_function:
+                for l in range(mcfg.num_levels):
+                    log[f"kl_div_loss_level{l}"] = float(js_kl[l])
+                    log[f"collisions_loss_level{l}"] = float(coll_loss[l])
+                    log[f"kl_collisions_loss_level{l}"] = float(
+                        lcfg.l_js_kl * js_kl[l]
+                        + lcfg.l_collisions * coll_loss[l]
+                    )
+            for l in range(mcfg.num_levels):
+                log[f"collisions_level{l}"] = float(collisions[l])
+                log[f"min_possible_collisions_level{l}"] = float(
+                    min_possible[l]
+                )
+
+            should_counts = (
+                (ep == epochs - 1) or (ep % rate == 0)
+                or early_stopper.early_stop
+            )
+            if should_counts and j == n - 1:
+                # indices_all/image belong to the span's LAST epoch; counts
+                # epochs are scheduled as singletons so this is exact (a
+                # mid-span early-stop epoch is the one case that skips it)
+                flat_coords = np.asarray(batches.x).reshape(
+                    -1, batches.x.shape[-1]
+                )
+                slot_c, cell_c = stats_fn(
+                    indices_all, jax.numpy.asarray(flat_coords)
+                )
+                slot_c = np.asarray(slot_c)
+                for l in range(mcfg.num_levels):
+                    log[f"hist_counts_level{l}_counts"] = slot_c[l]
+                if not isinstance(logger, NullLogger):
+                    # reference schema parity: the reconstructed train image
+                    # (functions.py:718-721 — logged there every epoch; here
+                    # on histogram epochs to keep the device->host image
+                    # transfer off the hot path) and the per-level histogram
+                    # FIGURES under hist_counts_level{l}
+                    # (functions.py:749-757)
+                    log["train_image"] = to_uint8_image(
+                        np.asarray(last_image_dev), data.height, data.width,
+                        data.channels,
+                    )
+                    from ..utils.histograms import counts_per_level_histograms
+
+                    figs = counts_per_level_histograms(
+                        slot_c, mcfg.hash_table_size
+                    )
+                    for l, fig in enumerate(figs):
+                        log[f"hist_counts_level{l}"] = fig
+
+            logger.log(log, step=ep)
+            if collect_history:
+                history.append(
+                    {
+                        k: v for k, v in log.items()
+                        if isinstance(v, (int, float))
+                    }
+                )
+
+            if train_psnr >= best_psnr:
+                best_psnr = train_psnr
+                if tcfg.save_params and run_dir is not None:
+                    # keep the best state on device; throttle disk writes
+                    # (span>1: this snapshots the span-end params, see
+                    # docstring)
+                    best_snapshot = (
+                        state.params, state.opt_state, state.bn_state
+                    )
+                    now = time.monotonic()
+                    if now - last_ckpt_write >= tcfg.checkpoint_min_interval_s:
+                        ckpt.save_run_checkpoint(
+                            run_dir, *best_snapshot, model_cfg=mcfg
+                        )
+                        last_ckpt_write = now
+
+            if early_stopper.early_stop:
+                if verbose and not zero_coll_abort:
+                    print(f"!!! Stopping at epoch: {ep} !!!")
+                stop_now = True
+                break
+            if ep != 0:
+                early_stopper(train_loss)
+        e += n
 
     if best_snapshot is not None and run_dir is not None:
         # flush final best
@@ -261,9 +332,9 @@ def fit(
     # the full-image prediction is fetched from device ONCE here (the
     # reference ships it every epoch, functions.py:332-335)
     final_img = None
-    if last_metrics is not None:
+    if last_image_dev is not None:
         final_img = to_uint8_image(
-            np.asarray(last_metrics.image), data.height, data.width,
+            np.asarray(last_image_dev), data.height, data.width,
             data.channels,
         )
     return FitResult(

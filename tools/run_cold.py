@@ -35,6 +35,7 @@ def main(epochs, seeds):
             collect_history=False,
             verbose=True,
             run_name=f"cold_seed{seed}",
+            epoch_span=33,  # 33 | 99 (=rate-1): only two compiled variants
         )
         print(json.dumps({
             "image": "strawberry.jpeg", "grid_id": 4061, "seed": seed,
