@@ -1,0 +1,191 @@
+"""Analytic roofline anchor for the training step (VERDICT round-1 "weak #6":
+`vs_baseline` needs an external reference point beyond the repo's own first
+measurement — the upstream project publishes no throughput numbers at all,
+SURVEY.md §6).
+
+Counts the fundamental work of one training epoch under the current
+(dedup + streaming-fused) execution plan and compares the speed-of-light
+epoch time implied by the chip's peak FLOP rate and HBM bandwidth against the
+measured epoch time:
+
+  * matmul FLOPs: HPD hidden stack + head on the U unique vertices, the
+    count-weighted loss marginal, the decoder MLP on every pixel row, the
+    one-hot table-gradient einsum; backward counted as 2x forward for
+    matmuls (dW and dX).
+  * vector ops: top-k over the (U, T) probabilities (~U*T*K compares),
+    blend/interp multiply-adds.
+  * HBM bytes: batch inputs/targets, per-pixel feature gathers, top-k
+    outputs, image assembly, parameter/optimizer traffic per batch.
+
+Peaks are nominal public per-chip numbers keyed by jax device_kind; fp32
+"highest" matmul precision on the MXU is modeled as peak_bf16 / 6 (6-pass
+decomposition). The point is an order-of-magnitude anchor — the printed
+utilization states how far measured throughput sits from the hardware
+ceiling, which no self-referential vs_baseline can say.
+
+Usage:
+  python tools/roofline.py [--mode gngf|scaled] [--measure] [--span N]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (peak dense bf16 matmul FLOP/s, HBM bytes/s) per chip — public nominal specs
+PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v5e": (197e12, 819e9),
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v4": (275e12, 1228e9),
+    "TPU v6e": (918e12, 1640e9),
+}
+FP32_HIGHEST_DIVISOR = 6.0  # 6-pass bf16 decomposition of a true-fp32 matmul
+
+
+def epoch_ledger(exp, num_pixels):
+    m = exp.model
+    from collision_handling_in_instantngp_tpu.models import gngf
+
+    statics = gngf.make_statics(m)
+    import numpy as np
+
+    num_batches = int(np.ceil(1.0 / exp.train.batch_fraction))
+    p = -(-num_pixels // num_batches)          # rows per batch
+    l, v, k, t, f = (m.num_levels, m.num_corners, m.topk_k,
+                     m.hash_table_size, m.feature_dim)
+    u = (
+        statics.unique_coords.shape[0]
+        if statics.unique_coords is not None
+        else p * v * l
+    )
+    widths = (m.input_dim, *m.hpd_hidden, t)
+    hpd_macs = u * sum(a * b for a, b in zip(widths, widths[1:]))
+    marginal_macs = l * u * t
+    dec_widths = (l * f, *m.mlp_hidden, m.out_channels)
+    dec_macs = p * sum(a * b for a, b in zip(dec_widths, dec_widths[1:]))
+    table_grad_macs = l * u * t * f            # one-hot einsum backward
+    blend_macs = u * l * k * f + p * l * v * f  # K-blend + bilinear interp
+
+    # fwd + bwd(dW, dX) for matmuls; top-k and blends are VPU work
+    matmul_flops = 2 * 3 * (hpd_macs + dec_macs) + 2 * (
+        marginal_macs + table_grad_macs
+    )
+    vpu_flops = u * t * k + 4 * blend_macs
+
+    bytes_hbm = 4 * (
+        p * (m.input_dim + m.out_channels)     # batch coords+targets
+        + u * (l * k * f + 2 * k)              # gathers + top-k outs
+        + p * (l * f)                          # per-pixel feature gather
+        + p * m.out_channels * 2               # prediction + assembly
+        + 3 * sum(                             # params+grads+adam state
+            a * b for a, b in zip(widths, widths[1:])
+        )
+        + 3 * l * t * f
+    )
+    per_epoch = {
+        "matmul_flops": num_batches * matmul_flops,
+        "vpu_flops": num_batches * vpu_flops,
+        "hbm_bytes": num_batches * bytes_hbm
+        + 4 * num_pixels * m.out_channels * 2,  # image metrics
+        "unique_vertices": u,
+        "rows_per_batch": p,
+        "num_batches": num_batches,
+    }
+    return per_epoch
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", default="gngf", choices=["gngf", "scaled"])
+    ap.add_argument("--measure", action="store_true",
+                    help="also time real epochs on the attached device")
+    ap.add_argument("--span", type=int, default=10)
+    ap.add_argument("--epochs", type=int, default=60)
+    args = ap.parse_args()
+
+    import jax
+
+    from collision_handling_in_instantngp_tpu.config import (
+        experiment_from_grid_id,
+        instantngp_scaled_model,
+    )
+
+    exp = experiment_from_grid_id(4061)
+    if args.mode == "scaled":
+        exp = dataclasses.replace(
+            exp,
+            model=instantngp_scaled_model(),
+            train=dataclasses.replace(exp.train, batch_fraction=1 / 8),
+        )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from collision_handling_in_instantngp_tpu.data import load_image_dataset
+
+    data = load_image_dataset(os.path.join(repo, "images", "strawberry.jpeg"))
+    ledger = epoch_ledger(exp, data.num_pixels)
+
+    kind = jax.devices()[0].device_kind
+    peak = PEAKS.get(kind)
+    out = {"mode": args.mode, "device_kind": kind, **ledger}
+    if peak:
+        peak_flops, peak_bw = peak
+        mm_rate = (
+            peak_flops / FP32_HIGHEST_DIVISOR
+            if exp.model.matmul_precision == "highest"
+            else peak_flops
+        )
+        t_mm = ledger["matmul_flops"] / mm_rate
+        t_vpu = ledger["vpu_flops"] / (peak_flops / 16)  # VPU ~ MXU/16
+        t_bw = ledger["hbm_bytes"] / peak_bw
+        sol_s = max(t_mm + t_vpu, t_bw)
+        out.update(
+            sol_epoch_ms=round(sol_s * 1e3, 3),
+            sol_bound="compute" if t_mm + t_vpu > t_bw else "bandwidth",
+            sol_pixels_per_s=round(data.num_pixels / sol_s, 1),
+        )
+
+    if args.measure:
+        from collision_handling_in_instantngp_tpu.data import (
+            make_shuffle_permutations,
+        )
+        from collision_handling_in_instantngp_tpu.models import gngf
+        from collision_handling_in_instantngp_tpu.train.train_step import (
+            build_epoch_batches,
+            make_epoch_fn,
+        )
+
+        statics = gngf.make_statics(exp.model)
+        shuffled, _ = make_shuffle_permutations(
+            data.num_pixels, exp.train.seed, True
+        )
+        batches = build_epoch_batches(
+            data.coords, data.targets, exp.train.batch_fraction, shuffled,
+            model_cfg=exp.model, statics=statics,
+        )
+        init_state, make_jitted = make_epoch_fn(exp, statics)
+        state, tx = init_state(jax.random.PRNGKey(0))
+        fn = make_jitted(tx, data.num_pixels, span=args.span)
+        for _ in range(2):
+            state, sm, _, _ = fn(state, batches)
+            float(sm.loss[-1])
+        calls = max(1, args.epochs // args.span)
+        t0 = time.perf_counter()
+        for _ in range(calls):
+            state, sm, _, _ = fn(state, batches)
+        float(sm.loss[-1])
+        dt = (time.perf_counter() - t0) / (calls * args.span)
+        out["measured_epoch_ms"] = round(dt * 1e3, 3)
+        out["measured_pixels_per_s"] = round(data.num_pixels / dt, 1)
+        if peak:
+            out["fraction_of_roofline"] = round(sol_s / dt, 4)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
