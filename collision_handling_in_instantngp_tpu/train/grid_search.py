@@ -27,7 +27,7 @@ from ..config import (
 )
 from ..data import ImageData
 from ..utils.logging import MetricLogger, NullLogger
-from .trainer import FitResult, fit
+from .trainer import EpochFnCache, FitResult, fit
 
 
 def load_manifest(path: str) -> Dict[int, Dict[str, Any]]:
@@ -65,6 +65,7 @@ def run_grid_search(
     verbose: bool = True,
     progress: bool = False,
     epoch_span: int = 1,
+    compile_cache: bool = True,
 ) -> List[Dict[str, Any]]:
     """Sweep configs [start_id, end_id] (inclusive start, exclusive end like the
     reference's slice at functions.py:503). Returns one summary row per config
@@ -73,7 +74,13 @@ def run_grid_search(
     shard_index/shard_count = None enables multi-host auto-sharding: each JAX
     process owns ``ids[jax.process_index()::jax.process_count()]`` — the
     distributed version of the reference's manual ``-s/-e`` range splitting
-    (BASELINE.json config 5)."""
+    (BASELINE.json config 5).
+
+    compile_cache=True (default) shares jitted epoch programs across configs
+    with identical tensor shapes: loss weights and lrs flow in as runtime
+    scalars (train_step.HyperParams), so the 48,000-config grid needs one XLA
+    compile per shape class (topk_k x keep_topk_only) instead of one per
+    config — numerically identical to per-config compilation."""
     if shard_index is None or shard_count is None:
         import jax
 
@@ -91,6 +98,7 @@ def run_grid_search(
 
     done = load_manifest(manifest_path) if manifest_path else {}
     results: List[Dict[str, Any]] = []
+    fn_cache = EpochFnCache() if compile_cache else None
 
     for grid_id in ids:
         if grid_id in done:
@@ -116,6 +124,7 @@ def run_grid_search(
             verbose=verbose,
             progress=progress,
             epoch_span=epoch_span,
+            epoch_fn_cache=fn_cache,
         )
         row = {
             "grid_id": grid_id,

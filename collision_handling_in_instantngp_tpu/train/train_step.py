@@ -76,6 +76,39 @@ class TrainState(NamedTuple):
     prev_min_possible: jnp.ndarray    # (L,) float32 (constant after epoch 0)
 
 
+class HyperParams(NamedTuple):
+    """Per-config hyper-parameters carried as 0-d device arrays so the jitted
+    epoch program is SHARED across grid-search configs.
+
+    The reference's 48,000-config grid varies loss weights (l_mse, l_js_kl,
+    l_collisions, gamma/epsilon) and two learning rates (HPD_lr, MLP_lr) —
+    none of which change tensor shapes. Baked as Python constants they force
+    one XLA compile per config; as dynamic scalars the whole grid collapses
+    to the handful of SHAPE classes (topk_k x keep_topk_only), ~12 compiles
+    for the full sweep (train/grid_search.py compile cache).
+
+    Field names mirror LossConfig so the loss functions accept either."""
+
+    gamma: jnp.ndarray
+    epsilon: jnp.ndarray
+    l_mse: jnp.ndarray
+    l_js_kl: jnp.ndarray
+    l_collisions: jnp.ndarray
+    delta: jnp.ndarray
+    hpd_lr: jnp.ndarray
+    mlp_lr: jnp.ndarray
+
+    @classmethod
+    def from_exp(cls, exp: ExperimentConfig) -> "HyperParams":
+        lcfg, ocfg = exp.loss, exp.optimizer
+        f = lambda v: jnp.asarray(v, jnp.float32)
+        return cls(
+            gamma=f(lcfg.gamma), epsilon=f(lcfg.epsilon), l_mse=f(lcfg.l_mse),
+            l_js_kl=f(lcfg.l_js_kl), l_collisions=f(lcfg.l_collisions),
+            delta=f(lcfg.delta), hpd_lr=f(ocfg.hpd_lr), mlp_lr=f(ocfg.mlp_lr),
+        )
+
+
 class SpanMetrics(NamedTuple):
     """Per-epoch scalar metrics for a jitted multi-epoch span (leading axis =
     epochs in the span). The full-image prediction and slot indices are NOT
@@ -178,32 +211,53 @@ def make_epoch_fn(
     exp: ExperimentConfig,
     statics: gngf.GNGFStatics,
     freeze_hpd: bool = False,
+    dynamic_hypers: bool = False,
 ):
     """Build (init_state_fn, jitted epoch_fn, optimizer).
 
     epoch_fn(state, batches) -> (state', metrics, indices_all) where
     indices_all is (P_padded, L, V[, K]) int32 — the epoch's selected slots,
     kept on device for histogram epochs.
-    """
+
+    dynamic_hypers=True: loss weights and the HPD/MLP learning rates enter as
+    a :class:`HyperParams` runtime argument instead of trace-time constants —
+    the jitted program (and its XLA compile) is then shared by every grid
+    config with the same shapes (see HyperParams). The jitted callables take
+    an extra trailing ``hypers`` argument, and the optimizer is built with
+    unit HPD/MLP lrs (updates are rescaled by the dynamic lrs before
+    application; bitwise-identical because optax's scale(-lr) is the final
+    chain op)."""
     mcfg, lcfg = exp.model, exp.loss
+    if dynamic_hypers:
+        import dataclasses as _dc
+
+        opt_cfg = _dc.replace(exp.optimizer, hpd_lr=1.0, mlp_lr=1.0)
+    else:
+        opt_cfg = exp.optimizer
     tx = None  # created lazily against a params tree in init_state
 
     use_dedup = gngf.dedup_enabled(mcfg)
 
-    def loss_fn(params, bn_state, bx, by, nvalid, dedup, prev_coll, prev_min):
+    def loss_fn(
+        params, bn_state, bx, by, nvalid, dedup, prev_coll, prev_min, hypers
+    ):
         out = gngf.forward(
             params, bx, mcfg, statics, bn_state=bn_state, train=True,
             dedup=dedup,
         )
+        lw = hypers if dynamic_hypers else lcfg
         aux = compute_loss(
-            out.rgb, by, out.probs, prev_coll, prev_min, lcfg, mcfg.num_levels,
+            out.rgb, by, out.probs, prev_coll, prev_min, lw, mcfg.num_levels,
             marginals=out.marginal, valid_rows=nvalid,
         )
         return aux.total, (aux, out)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def epoch_fn(state: TrainState, batches: EpochBatches, num_pixels, tx_update):
+    def epoch_fn(
+        state: TrainState, batches: EpochBatches, num_pixels, tx_update,
+        hypers=None,
+    ):
         # mirror forward's work-based gate (gngf.forward): dedup engages when
         # geometry was precomputed, or when the duplicated row count exceeds
         # the unique-vertex count; batch shape is static under jit so this
@@ -228,9 +282,16 @@ def make_epoch_fn(
             )
             (_, (aux, out)), grads = grad_fn(
                 params, bn_state, bx, by, nvalid, dedup,
-                state.prev_collisions, state.prev_min_possible,
+                state.prev_collisions, state.prev_min_possible, hypers,
             )
             updates, opt_state = tx_update(grads, opt_state, params)
+            if dynamic_hypers:
+                updates = dict(updates)
+                for group, lr in (("hpd", hypers.hpd_lr), ("mlp", hypers.mlp_lr)):
+                    if group in updates:
+                        updates[group] = jax.tree_util.tree_map(
+                            lambda u: u * lr, updates[group]
+                        )
             params = optax.apply_updates(params, updates)
             if dedup_active:
                 # per-batch used-slot presence: the collision statistic
@@ -307,7 +368,10 @@ def make_epoch_fn(
     def init_state(key: jax.Array) -> Tuple[TrainState, optax.GradientTransformation]:
         params = gngf.init_params(key, mcfg)
         nonlocal tx
-        tx = make_optimizer(exp.optimizer, params, freeze_hpd=freeze_hpd)
+        if tx is None:
+            # reused across init calls so cached jitted programs (compile-
+            # sharing grid sweeps) keep closing over the same tx.update
+            tx = make_optimizer(opt_cfg, params, freeze_hpd=freeze_hpd)
         opt_state = tx.init(params)
         l = mcfg.num_levels
         min_poss = coll_ops.min_possible_collisions(
@@ -340,14 +404,16 @@ def make_epoch_fn(
         if span is None:
             return jax.jit(step)
 
-        def multi(state: TrainState, batches: EpochBatches):
-            _, m_shape, idx_shape = jax.eval_shape(step, state, batches)
+        def multi(state: TrainState, batches: EpochBatches, hypers=None):
+            _, m_shape, idx_shape = jax.eval_shape(
+                step, state, batches, hypers=hypers
+            )
             img0 = jnp.zeros(m_shape.image.shape, m_shape.image.dtype)
             idx0 = jnp.zeros(idx_shape.shape, idx_shape.dtype)
 
             def body(carry, _):
                 st, _, _ = carry
-                st2, m, idx = step(st, batches)
+                st2, m, idx = step(st, batches, hypers=hypers)
                 scal = SpanMetrics(
                     m.loss, m.mse, m.js_kl_per_level, m.coll_loss_per_level,
                     m.collisions, m.min_possible, m.int_sq_err, m.match_count,

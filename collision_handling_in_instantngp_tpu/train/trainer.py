@@ -30,11 +30,44 @@ from ..utils.metrics import to_uint8_image
 from .early_stopping import EarlyStopping
 from .train_step import (
     EpochBatches,
+    HyperParams,
     TrainState,
     build_epoch_batches,
     make_epoch_fn,
     make_stats_fn,
 )
+
+
+class EpochFnCache:
+    """Shares jitted epoch programs across configs whose tensor shapes match.
+
+    Grid-search configs differ almost entirely in loss weights and learning
+    rates — runtime scalars under train_step.HyperParams — so the 48,000-id
+    sweep needs only one XLA compile per SHAPE class (topk_k x keep_topk_only
+    x ...). Pass one instance to successive fit() calls (the grid driver does
+    this) and each entry carries the traced init/make_jitted pair plus the
+    jitted fns per span size."""
+
+    def __init__(self):
+        self.entries: Dict[Any, Dict[str, Any]] = {}
+
+    def entry(self, exp, statics, freeze_hpd, num_pixels):
+        key = (
+            exp.model,
+            dataclasses.replace(exp.optimizer, hpd_lr=1.0, mlp_lr=1.0),
+            freeze_hpd,
+            num_pixels,
+            exp.train.batch_fraction,
+        )
+        ent = self.entries.get(key)
+        if ent is None:
+            init_state, make_jitted = make_epoch_fn(
+                exp, statics, freeze_hpd=freeze_hpd, dynamic_hypers=True
+            )
+            ent = {"init_state": init_state, "make_jitted": make_jitted,
+                   "fns": {}}
+            self.entries[key] = ent
+        return ent
 
 
 @dataclasses.dataclass
@@ -65,6 +98,7 @@ def fit(
     verbose: bool = True,
     progress: bool = False,
     epoch_span: int = 1,
+    epoch_fn_cache: Optional[EpochFnCache] = None,
 ) -> FitResult:
     """Train one configuration to convergence (reference functions.py:540-814).
 
@@ -98,7 +132,22 @@ def fit(
     )
 
     freeze_hpd = hpd_weights_path is not None
-    init_state, make_jitted = make_epoch_fn(exp, statics, freeze_hpd=freeze_hpd)
+    if epoch_fn_cache is not None:
+        # compile-sharing mode: loss weights / lrs flow in as HyperParams so
+        # every same-shape config reuses one jitted program (grid sweeps)
+        cache_entry = epoch_fn_cache.entry(
+            exp, statics, freeze_hpd, data.num_pixels
+        )
+        init_state = cache_entry["init_state"]
+        make_jitted = cache_entry["make_jitted"]
+        jitted_fns = cache_entry["fns"]
+        hypers = HyperParams.from_exp(exp)
+    else:
+        init_state, make_jitted = make_epoch_fn(
+            exp, statics, freeze_hpd=freeze_hpd
+        )
+        jitted_fns = {}
+        hypers = None
     state, tx = init_state(jax.random.PRNGKey(tcfg.seed))
     if freeze_hpd:
         params = ckpt.load_hpd_weights(state.params, hpd_weights_path)
@@ -122,7 +171,14 @@ def fit(
         state = state._replace(params=params, opt_state=opt_state)
         if bn_state is not None:
             state = state._replace(bn_state=bn_state)
-    epoch_fn = make_jitted(tx, data.num_pixels)
+    def get_jitted(span_n):
+        fn = jitted_fns.get(span_n)
+        if fn is None:
+            fn = make_jitted(tx, data.num_pixels, span=span_n)
+            jitted_fns[span_n] = fn
+        return fn
+
+    epoch_fn = get_jitted(None)
     stats_fn = make_stats_fn(exp, statics)
 
     early_stopper = EarlyStopping(tolerance=tcfg.tolerance, min_delta=tcfg.min_delta)
@@ -153,14 +209,8 @@ def fit(
         except ImportError:
             pass
 
-    span_fns: Dict[int, Any] = {}
-
     def run_span(st, n):
-        fn = span_fns.get(n)
-        if fn is None:
-            fn = make_jitted(tx, data.num_pixels, span=n)
-            span_fns[n] = fn
-        return fn(st, batches)
+        return get_jitted(n)(st, batches, hypers=hypers)
 
     rate = tcfg.histograms_rate
     last_image_dev = None
@@ -180,7 +230,9 @@ def fit(
             n = max(1, min(epoch_span, next_count - e, (epochs - 1) - e))
 
         if n == 1:
-            state, metrics, indices_all = epoch_fn(state, batches)
+            state, metrics, indices_all = epoch_fn(
+                state, batches, hypers=hypers
+            )
             # ONE host transfer for all scalar metrics (each device_get is a
             # round-trip; the reference pays ~10 per epoch,
             # functions.py:247-267)
