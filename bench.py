@@ -40,6 +40,12 @@ def main() -> None:
              "trainer's epoch_span). Amortizes per-call dispatch latency; "
              "1 = one call per epoch (round-1 measurement mode).",
     )
+    ap.add_argument(
+        "--precision", default=None, choices=[None, "highest", "default"],
+        help="Override matmul precision ('default' = fast bf16-multiply "
+             "MXU path; the headline metric uses the config's fp32 "
+             "'highest').",
+    )
     args = ap.parse_args()
 
     import jax
@@ -75,11 +81,19 @@ def main() -> None:
             model=instantngp_scaled_model(),
             train=dataclasses.replace(exp.train, batch_fraction=1 / 8),
         )
+    if args.precision:
+        exp = dataclasses.replace(
+            exp,
+            model=dataclasses.replace(
+                exp.model, matmul_precision=args.precision
+            ),
+        )
     data = load_image_dataset(os.path.join(REPO, "images", "strawberry.jpeg"))
     statics = gngf.make_statics(exp.model)
     shuffled, _ = make_shuffle_permutations(data.num_pixels, exp.train.seed, True)
     batches = build_epoch_batches(
-        data.coords, data.targets, exp.train.batch_fraction, shuffled
+        data.coords, data.targets, exp.train.batch_fraction, shuffled,
+        og_image=data.image, model_cfg=exp.model, statics=statics,
     )
 
     init_state, make_jitted = make_epoch_fn(exp, statics)

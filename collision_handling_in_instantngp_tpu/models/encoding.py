@@ -152,14 +152,155 @@ def blend_unique(
     )
 
 
-def gather_rows(per_level_table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+@jax.custom_vjp
+def _gather_rows_rev(per_level_table, ids, rev, local_maps):
+    return _flat_gather_impl(per_level_table, ids)
+
+
+def _gather_rows_rev_fwd(per_level_table, ids, rev, local_maps):
+    out = _flat_gather_impl(per_level_table, ids)
+    return out, (per_level_table.shape, rev, local_maps)
+
+
+def _gather_rows_rev_bwd(res, g):
+    (l, u, f), rev, local_maps = res
+    # (P, L, V, F) -> per-level (N, F) flat rows (N = P * V, row = p * V + v)
+    g_levels = jnp.moveaxis(g, 1, 0).reshape(l, -1, f)
+    dt_levels = []
+    for li in range(l):
+        rows = rev[li]                                       # (U_l, M_l)
+        gl = g_levels[li]
+        gathered = jnp.take(gl, jnp.clip(rows, 0), axis=0)   # (U_l, M_l, F)
+        mask = (rows >= 0).astype(gl.dtype)[..., None]
+        summed = jnp.sum(gathered * mask, axis=1)            # (U_l, F)
+        local, valid = local_maps[li]                        # (U,), (U,)
+        dt_levels.append(
+            jnp.where(
+                valid[:, None], jnp.take(summed, local, axis=0), 0.0
+            )
+        )
+    return jnp.stack(dt_levels), None, None, None
+
+
+_gather_rows_rev.defvjp(_gather_rows_rev_fwd, _gather_rows_rev_bwd)
+
+
+_CELL_CHUNK_BUDGET = 1 << 23
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gather_rows_cells(per_level_table, ids, n_ls, side):
+    return _flat_gather_impl(per_level_table, ids)
+
+
+def _gather_rows_cells_fwd(per_level_table, ids, n_ls, side):
+    return (
+        _flat_gather_impl(per_level_table, ids),
+        (per_level_table.shape, ids),
+    )
+
+
+def _gather_rows_cells_bwd(n_ls, side, res, g):
+    """Cell-structured exact segment-sum for the dedup per-pixel gather.
+
+    A pixel's V=4 corner rows at level l share one CELL (corner v = cell +
+    offset), so summing grads by vertex factorizes: (1) one-hot over the
+    (n_l+1)^2 cells contracts the (P, V*F) grads on the MXU — 4x fewer rows
+    and ~(U/cells_l)x narrower than a one-hot over vertices on the shared
+    global grid; (2) each corner offset is a static shift of the resulting
+    cell grid into the (n_l+2)^2 vertex grid. Exact up to summation order.
+
+    (A gather-based reverse-map variant — build_reverse_maps_np — measures
+    2.6x faster in isolation but 3x SLOWER inside the full epoch program on
+    TPU: row-granular gathers schedule poorly inside the batch scan. Kept for
+    reference behind gather_rows(rev=...).)"""
+    (l, u, f), ids_arr = res
+    p = g.shape[0]
+    v = g.shape[2]
+    gi_g, gj_g = jnp.divmod(jnp.arange(u, dtype=jnp.int32), side)
+    dt_levels = []
+    for li in range(l):
+        n_l = int(n_ls[li])
+        c_l = n_l + 1                                 # cell-grid side
+        s_l = n_l + 2                                 # vertex-grid side
+        # corner v=0 has offset (0,0): its global id IS the cell's base vertex
+        base = ids_arr[:, li, 0]
+        ci, cj = jnp.divmod(base, side)
+        cell = ci * c_l + cj                          # (P,) local cell id
+        gl = g[:, li].reshape(p, v * f)               # (P, V*F)
+
+        chunk = max(256, min(p, _CELL_CHUNK_BUDGET // max(c_l * c_l, 1)))
+        pad = (-p) % chunk
+        cell_pad = jnp.pad(cell, (0, pad), constant_values=-1)
+        gl_pad = jnp.pad(gl, ((0, pad), (0, 0)))
+        c = cell_pad.shape[0] // chunk
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, c_l * c_l), 1)
+
+        def body(acc, xs):
+            cell_chunk, g_chunk = xs
+            onehot = (cell_chunk[:, None] == cols).astype(g_chunk.dtype)
+            return acc + jnp.einsum(
+                "rc,rk->ck", onehot, g_chunk, precision="highest"
+            ), None
+
+        s, _ = jax.lax.scan(
+            body,
+            jnp.zeros((c_l * c_l, v * f), g.dtype),
+            (cell_pad.reshape(c, chunk), gl_pad.reshape(c, chunk, v * f)),
+        )
+        s = s.reshape(c_l, c_l, v, f)
+        # scatter the V corner contributions by static grid shifts
+        acc = jnp.zeros((s_l, s_l, f), g.dtype)
+        for vi in range(v):
+            oi, oj = vi & 1, vi >> 1                  # corner order (0,0),
+            acc = acc + jnp.pad(                      # (1,0),(0,1),(1,1) —
+                s[:, :, vi],                          # ops/grid.py offsets
+                ((oi, 1 - oi), (oj, 1 - oj), (0, 0)),
+            )
+        # local (s_l, s_l) vertex grid -> global (U,) shared-grid layout
+        valid = (gi_g < s_l) & (gj_g < s_l)
+        flat = acc.reshape(s_l * s_l, f)
+        local = jnp.where(valid, gi_g * s_l + gj_g, 0)
+        dt_levels.append(
+            jnp.where(valid[:, None], jnp.take(flat, local, axis=0), 0.0)
+        )
+    return jnp.stack(dt_levels), None
+
+
+_gather_rows_cells.defvjp(_gather_rows_cells_fwd, _gather_rows_cells_bwd)
+
+
+def gather_rows(
+    per_level_table: jnp.ndarray,
+    ids: jnp.ndarray,
+    rev=None,
+    local_maps=None,
+    cell_info=None,
+) -> jnp.ndarray:
     """Per-pixel gather from a (L, U, F) per-vertex feature table.
 
-    ids: (P, L, V) unique-vertex ids -> (P, L, V, F) features. Same fused
-    flat-gather (and chunked one-hot segment-sum backward) as the hash-table
-    lookup — the transpose of this gather is exactly the count-weighted
-    accumulation that makes vertex dedup gradient-exact."""
-    return _flat_gather(per_level_table, ids)
+    ids: (P, L, V) unique-vertex ids -> (P, L, V, F) features.
+
+    The transpose of this gather is the segment-sum of per-row cotangents by
+    vertex — the step that makes vertex dedup gradient-exact. Backwards, by
+    preference:
+
+    * cell_info=(n_ls tuple, side) (2-D, V=4): the cell-structured one-hot
+      backward (_gather_rows_cells_bwd) — ~10x less HBM traffic than the
+      global one-hot; no precomputed data needed.
+    * rev/local_maps (ops/dedup.py build_reverse_maps_np): reverse-map
+      gather+sum — fastest in isolation but schedules poorly inside the
+      full epoch program (measured); kept for experimentation.
+    * fallback: the chunked one-hot matmul VJP of the fused flat gather —
+      correct everywhere but streams a (L, R, U) one-hot per chunk
+      (~GBs/batch at the default config).
+    """
+    if cell_info is not None and ids.ndim == 3 and ids.shape[-1] == 4:
+        n_ls, side = cell_info
+        return _gather_rows_cells(per_level_table, ids, tuple(n_ls), int(side))
+    if rev is None:
+        return _flat_gather(per_level_table, ids)
+    return _gather_rows_rev(per_level_table, ids, rev, local_maps)
 
 
 def lookup_topk_blend(

@@ -154,12 +154,16 @@ def forward(
     bn_state: Optional[dict] = None,
     train: bool = True,
     dedup: Optional[dedup_ops.DedupGeometry] = None,
+    need_indices: bool = True,
 ) -> ForwardOut:
     """Full model forward (reference models.py:394-484).
 
     dedup: optional precomputed per-batch vertex-dedup geometry (static for
     fixed batches — the trainer precomputes it host-side); when None and the
-    dedup path applies, ids/counts are derived in-graph."""
+    dedup path applies, ids/counts are derived in-graph.
+    need_indices=False (dedup path only) skips materializing the per-row
+    (P, L, V, K) selected-slot tensor — it feeds histogram statistics, not
+    training math, and costs ~15 MB of HBM writes per batch."""
     n_ls = jnp.asarray(statics.n_ls)
     offsets = jnp.asarray(statics.offsets)
 
@@ -217,8 +221,16 @@ def forward(
             params["hpd"], ucoords, cfg, counts=counts
         )
         feats_u = enc.blend_unique(params["tables"], idx_u, vals_u, cfg)
-        feats = enc.gather_rows(feats_u, ids)                      # (P,L,V,F)
-        indices = jnp.take(idx_u, ids, axis=0)                     # (P,L,V,K)
+        cell_info = None
+        if cfg.input_dim == 2 and cfg.num_corners == 4:
+            cell_info = (tuple(int(n) for n in statics.n_ls), side)
+        feats = enc.gather_rows(
+            feats_u, ids, cell_info=cell_info
+        )                                                          # (P,L,V,F)
+        if need_indices:
+            indices = jnp.take(idx_u, ids, axis=0)                 # (P,L,V,K)
+        else:
+            indices = jnp.zeros((0,), jnp.int32)
         probs, topk_values = None, None
         if counts is not None:
             # per-level loss marginal (reference utils.py:138) as a single

@@ -38,10 +38,18 @@ class DedupGeometry(NamedTuple):
     counts: (L, U) float32 — number of (pixel, corner) rows of each level that
             map to each unique vertex. Feeds the loss marginal and the
             collision statistics.
+    rev:    optional per-level tuple of (U_l, M_l) int32 REVERSE maps (-1 pad):
+            for each LEVEL-LOCAL vertex id, the flat (p * V + v) row indices
+            that land on it. Rows partition exactly (each row has one vertex
+            per level), so the gather_rows backward becomes a masked gather +
+            sum instead of a ~GB-scale one-hot contraction (see
+            encoding.gather_rows). Level-local ids keep the padding ~10%
+            ((n_l+2)^2 slots instead of the shared (n_max+2)^2 grid).
     """
 
     ids: jnp.ndarray
     counts: jnp.ndarray
+    rev: Optional[Tuple[jnp.ndarray, ...]] = None
 
 
 def grid_side(n_max: int) -> int:
@@ -137,6 +145,56 @@ def build_geometry_np(
     ids = vertex_ids_np(corners, side)                       # (P, L, V)
     counts = counts_np(ids, len(n_ls), side ** coords.shape[-1])
     return ids, counts
+
+
+def local_sides(n_ls) -> Tuple[int, ...]:
+    """Per-level local vertex-grid side: level l's corners live in
+    {0 .. n_l+1}^d (floor(x*n_l) <= n_l, +1 corner offset)."""
+    return tuple(int(n) + 2 for n in np.asarray(n_ls))
+
+
+def local_of_global_np(n_ls, side: int):
+    """Static per-level map from GLOBAL grid id to LEVEL-LOCAL id.
+
+    Returns a tuple over levels of ((U,) int32 local id — clipped to 0 for
+    out-of-level vertices, (U,) bool validity). Depends only on the
+    resolution ladder, not on batch data."""
+    u = side * side
+    gi, gj = np.divmod(np.arange(u, dtype=np.int32), side)
+    out = []
+    for s_l in local_sides(n_ls):
+        valid = (gi < s_l) & (gj < s_l)
+        local = np.where(valid, gi * s_l + gj, 0).astype(np.int32)
+        out.append((local, valid))
+    return tuple(out)
+
+
+def build_reverse_maps_np(ids: np.ndarray, n_ls, side: int):
+    """Per-level reverse maps for the gather_rows backward.
+
+    ids: (P, L, V) GLOBAL vertex ids. Returns a tuple over levels of
+    (U_l, M_l) int32 arrays (-1 padded): row r = p * V + v appears exactly
+    once in level l's map, at its LEVEL-LOCAL vertex id."""
+    p, num_levels, v = ids.shape
+    n = p * v
+    sides_l = local_sides(n_ls)
+    out = []
+    for l in range(num_levels):
+        gid = ids[:, l, :].reshape(n)
+        gi, gj = np.divmod(gid, side)
+        s_l = sides_l[l]
+        local = gi * s_l + gj                       # always in range: the
+        u_l = s_l * s_l                             # level's corners are < s_l
+        counts = np.bincount(local, minlength=u_l)
+        m_l = max(1, int(counts.max()))
+        order = np.argsort(local, kind="stable").astype(np.int32)
+        sorted_ids = local[order]
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        within = np.arange(n) - starts[sorted_ids]
+        rev = np.full((u_l, m_l), -1, dtype=np.int32)
+        rev[sorted_ids, within] = order
+        out.append(rev)
+    return tuple(out)
 
 
 # ------------------------- statistics on unique ids ------------------------- #

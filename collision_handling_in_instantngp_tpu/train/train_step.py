@@ -66,6 +66,10 @@ class EpochBatches(NamedTuple):
     dedup_counts: Optional[jnp.ndarray] = None  # (nb, L, U) float32 per-level
                               # vertex occurrence counts (loss marginal +
                               # collision statistics)
+    dedup_rev: Optional[Tuple[jnp.ndarray, ...]] = None
+                              # per-level (nb, U_l, M_l) int32 reverse maps
+                              # (-1 pad) for the gather_rows backward
+                              # (ops/dedup.py build_reverse_maps_np)
 
 
 class TrainState(NamedTuple):
@@ -175,7 +179,7 @@ def build_epoch_batches(
     valid = np.full((num_batches,), b, dtype=np.int32)
     valid[-1] = b - pad
 
-    dedup_ids = dedup_counts = None
+    dedup_ids = dedup_counts = dedup_rev = None
     if (
         model_cfg is not None
         and statics is not None
@@ -194,6 +198,10 @@ def build_epoch_batches(
             counts_list.append(counts_b)
         dedup_ids = jnp.asarray(np.stack(ids_list))
         dedup_counts = jnp.asarray(np.stack(counts_list))
+        # NOTE: the gather_rows backward needs no precomputed reverse map —
+        # the cell-structured one-hot (encoding._gather_rows_cells_bwd)
+        # derives everything from ids in-graph; dedup_rev stays None unless
+        # experimenting with the reverse-map variant
 
     return EpochBatches(
         x=jnp.asarray(x),
@@ -204,6 +212,7 @@ def build_epoch_batches(
         og_image=jnp.asarray(og),
         dedup_ids=dedup_ids,
         dedup_counts=dedup_counts,
+        dedup_rev=dedup_rev,
     )
 
 
@@ -239,11 +248,12 @@ def make_epoch_fn(
     use_dedup = gngf.dedup_enabled(mcfg)
 
     def loss_fn(
-        params, bn_state, bx, by, nvalid, dedup, prev_coll, prev_min, hypers
+        params, bn_state, bx, by, nvalid, dedup, prev_coll, prev_min, hypers,
+        need_indices=True,
     ):
         out = gngf.forward(
             params, bx, mcfg, statics, bn_state=bn_state, train=True,
-            dedup=dedup,
+            dedup=dedup, need_indices=need_indices,
         )
         lw = hypers if dynamic_hypers else lcfg
         aux = compute_loss(
@@ -252,11 +262,9 @@ def make_epoch_fn(
         )
         return aux.total, (aux, out)
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
     def epoch_fn(
         state: TrainState, batches: EpochBatches, num_pixels, tx_update,
-        hypers=None,
+        hypers=None, collect_indices=True,
     ):
         # mirror forward's work-based gate (gngf.forward): dedup engages when
         # geometry was precomputed, or when the duplicated row count exceeds
@@ -272,11 +280,18 @@ def make_epoch_fn(
             )
         )
 
+        # indices are only consumed by histogram statistics; non-dedup paths
+        # still need them in-epoch for collision counting
+        need_idx = collect_indices or not dedup_active
+        grad_fn = jax.value_and_grad(
+            functools.partial(loss_fn, need_indices=need_idx), has_aux=True
+        )
+
         def body(carry, batch):
             params, opt_state, bn_state = carry
-            bx, by, nvalid, dids, dcounts = batch
+            bx, by, nvalid, dids, dcounts, drev = batch
             dedup = (
-                dedup_ops.DedupGeometry(dids, dcounts)
+                dedup_ops.DedupGeometry(dids, dcounts, drev)
                 if dids is not None
                 else None
             )
@@ -316,13 +331,16 @@ def make_epoch_fn(
         (params, opt_state, bn_state), outs = jax.lax.scan(
             body, (state.params, state.opt_state, state.bn_state),
             (batches.x, batches.y, batches.valid,
-             batches.dedup_ids, batches.dedup_counts),
+             batches.dedup_ids, batches.dedup_counts, batches.dedup_rev),
         )
         rgb_all, idx_all, presence_all, losses, mses, js_kls, coll_losses = outs
 
         nb, b = rgb_all.shape[0], rgb_all.shape[1]
         image = rgb_all.reshape(nb * b, -1)[batches.gather_idx]
-        indices_all = idx_all.reshape((nb * b,) + idx_all.shape[2:])
+        if need_idx:
+            indices_all = idx_all.reshape((nb * b,) + idx_all.shape[2:])
+        else:
+            indices_all = jnp.zeros((0,), jnp.int32)
 
         if dedup_active:
             # union over batches == used-slot sets over every epoch row (each
@@ -405,15 +423,19 @@ def make_epoch_fn(
             return jax.jit(step)
 
         def multi(state: TrainState, batches: EpochBatches, hypers=None):
-            _, m_shape, idx_shape = jax.eval_shape(
-                step, state, batches, hypers=hypers
+            # span calls never serve histogram epochs (the trainer schedules
+            # those as singleton calls), so the per-row indices tensor is
+            # skipped on the dedup path (collect_indices=False)
+            step_span = functools.partial(
+                step, hypers=hypers, collect_indices=False
             )
+            _, m_shape, idx_shape = jax.eval_shape(step_span, state, batches)
             img0 = jnp.zeros(m_shape.image.shape, m_shape.image.dtype)
             idx0 = jnp.zeros(idx_shape.shape, idx_shape.dtype)
 
             def body(carry, _):
                 st, _, _ = carry
-                st2, m, idx = step(st, batches, hypers=hypers)
+                st2, m, idx = step_span(st, batches)
                 scal = SpanMetrics(
                     m.loss, m.mse, m.js_kl_per_level, m.coll_loss_per_level,
                     m.collisions, m.min_possible, m.int_sq_err, m.match_count,

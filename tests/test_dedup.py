@@ -289,3 +289,126 @@ def test_unique_stream_noop_scatter(rng):
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7,
             err_msg=f"grad {jax.tree_util.keystr(pa)}",
         )
+
+
+# ----------------------- reverse-map gather backward ----------------------- #
+
+def test_gather_rows_rev_backward_matches_onehot(rng):
+    """The static reverse-map VJP of gather_rows (build_reverse_maps_np) must
+    equal the chunked one-hot fallback exactly."""
+    from collision_handling_in_instantngp_tpu.models import encoding as enc
+
+    cfg = _cfg()
+    statics = gngf.make_statics(cfg)
+    side = dedup_ops.grid_side(cfg.n_max)
+    u = side * side
+    p = 211
+    coords = np.asarray(_coords(rng, p))
+    ids_np, _ = dedup_ops.build_geometry_np(
+        coords, statics.n_ls, statics.offsets, cfg.n_max
+    )
+    rev = tuple(
+        jnp.asarray(r)
+        for r in dedup_ops.build_reverse_maps_np(ids_np, statics.n_ls, side)
+    )
+    local_maps = tuple(
+        (jnp.asarray(a), jnp.asarray(b))
+        for a, b in dedup_ops.local_of_global_np(statics.n_ls, side)
+    )
+    ids = jnp.asarray(ids_np)
+    table = jnp.asarray(
+        rng.standard_normal((cfg.num_levels, u, cfg.feature_dim)).astype(
+            np.float32
+        )
+    )
+    cot = jnp.asarray(
+        rng.standard_normal(
+            (p, cfg.num_levels, 4, cfg.feature_dim)
+        ).astype(np.float32)
+    )
+
+    out_rev, vjp_rev = jax.vjp(
+        lambda t: enc.gather_rows(t, ids, rev=rev, local_maps=local_maps),
+        table,
+    )
+    out_oh, vjp_oh = jax.vjp(lambda t: enc.gather_rows(t, ids), table)
+    np.testing.assert_array_equal(np.asarray(out_rev), np.asarray(out_oh))
+    np.testing.assert_allclose(
+        np.asarray(vjp_rev(cot)[0]), np.asarray(vjp_oh(cot)[0]),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_fit_span_with_dedup_engaged(rng):
+    """fit(epoch_span>1) on a dedup-engaged config (exercises the span path's
+    collect_indices=False indices skip) matches span=1 history."""
+    import dataclasses as dc
+
+    from collision_handling_in_instantngp_tpu.data import ImageData
+    from collision_handling_in_instantngp_tpu.train.trainer import fit
+
+    h = w = 24
+    img = np.random.default_rng(3).integers(0, 256, size=(h, w, 3))
+    data = ImageData(
+        coords=(
+            np.stack(
+                np.meshgrid(np.arange(h), np.arange(w), indexing="ij"), -1
+            ).reshape(-1, 2).astype(np.float32) / (max(h, w) - 1)
+        ),
+        targets=(img.reshape(-1, 3) / 255.0).astype(np.float32),
+        height=h, width=w, image=img.astype(np.int64), name="t.png",
+    )
+    exp = experiment_from_grid_id(4061)
+    model = _cfg(n_max=8)
+    train = dc.replace(
+        exp.train, epochs=12, histograms_rate=5, save_params=False
+    )
+    exp = dc.replace(exp, model=model, train=train)
+
+    # dedup must engage: duplicated rows exceed the unique count
+    b = int(np.ceil(h * w / 3))
+    assert b * model.num_corners * model.num_levels > (model.n_max + 2) ** 2
+
+    r1 = fit(exp, data, verbose=False)
+    r5 = fit(exp, data, verbose=False, epoch_span=4)
+    assert len(r1.history) == len(r5.history) == 12
+    for a, c in zip(r1.history, r5.history):
+        for k in a:
+            np.testing.assert_allclose(c[k], a[k], rtol=1e-5, atol=1e-7)
+
+
+def test_gather_rows_cells_backward_matches_onehot(rng):
+    """The cell-structured VJP (default dedup backward) must match the global
+    one-hot fallback."""
+    from collision_handling_in_instantngp_tpu.models import encoding as enc
+
+    cfg = _cfg()
+    statics = gngf.make_statics(cfg)
+    side = dedup_ops.grid_side(cfg.n_max)
+    u = side * side
+    p = 307
+    coords = np.asarray(_coords(rng, p))
+    ids_np, _ = dedup_ops.build_geometry_np(
+        coords, statics.n_ls, statics.offsets, cfg.n_max
+    )
+    ids = jnp.asarray(ids_np)
+    cell_info = (tuple(int(n) for n in statics.n_ls), side)
+    table = jnp.asarray(
+        rng.standard_normal((cfg.num_levels, u, cfg.feature_dim)).astype(
+            np.float32
+        )
+    )
+    cot = jnp.asarray(
+        rng.standard_normal(
+            (p, cfg.num_levels, 4, cfg.feature_dim)
+        ).astype(np.float32)
+    )
+    out_c, vjp_c = jax.vjp(
+        lambda t: enc.gather_rows(t, ids, cell_info=cell_info), table
+    )
+    out_oh, vjp_oh = jax.vjp(lambda t: enc.gather_rows(t, ids), table)
+    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_oh))
+    np.testing.assert_allclose(
+        np.asarray(vjp_c(cot)[0]), np.asarray(vjp_oh(cot)[0]),
+        rtol=1e-5, atol=1e-6,
+    )

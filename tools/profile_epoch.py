@@ -60,7 +60,8 @@ def main():
     statics = gngf.make_statics(exp.model)
     shuffled, _ = make_shuffle_permutations(data.num_pixels, 65535, True)
     batches = build_epoch_batches(
-        data.coords, data.targets, exp.train.batch_fraction, shuffled
+        data.coords, data.targets, exp.train.batch_fraction, shuffled,
+        og_image=data.image, model_cfg=exp.model, statics=statics,
     )
     init_state, make_jitted = make_epoch_fn(exp, statics)
     state, tx = init_state(jax.random.PRNGKey(65535))

@@ -56,7 +56,7 @@ def main():
     coords = rng.random((p, 2), dtype=np.float32)
     targets = rng.random((p, 3), dtype=np.float32)
     perm = rng.permutation(p).astype(np.int32)
-    batches = build_epoch_batches(coords, targets, 1 / 3, perm)
+    batches = build_epoch_batches(coords, targets, 1 / 3, perm, model_cfg=exp.model, statics=statics)
 
     init_state, make_jitted = make_epoch_fn(exp, statics)
     base_state, tx = init_state(jax.random.PRNGKey(65535))
