@@ -19,26 +19,37 @@ from collision_handling_in_instantngp_tpu.train.trainer import fit
 from collision_handling_in_instantngp_tpu.utils.logging import JsonlLogger
 
 
-def main(epochs, seeds):
+def main(epochs, seeds, precision=None):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data = load_image_dataset(os.path.join(repo, "images", "strawberry.jpeg"))
+    tag = "" if not precision else f"_{precision}"
     for seed in seeds:
         exp = experiment_from_grid_id(4061)
         exp = dataclasses.replace(
             exp,
             train=dataclasses.replace(exp.train, tolerance=10**9, seed=seed),
         )
+        if precision:
+            exp = dataclasses.replace(
+                exp,
+                model=dataclasses.replace(
+                    exp.model, matmul_precision=precision
+                ),
+            )
         res = fit(
             exp, data,
             epochs=epochs,
-            logger=JsonlLogger(f"runs/strawberry_4061_cold_seed{seed}.jsonl"),
+            logger=JsonlLogger(
+                f"runs/strawberry_4061_cold_seed{seed}{tag}.jsonl"
+            ),
             collect_history=False,
             verbose=True,
-            run_name=f"cold_seed{seed}",
+            run_name=f"cold_seed{seed}{tag}",
             epoch_span=33,  # 33 | 99 (=rate-1): only two compiled variants
         )
         print(json.dumps({
             "image": "strawberry.jpeg", "grid_id": 4061, "seed": seed,
+            "precision": precision or "highest",
             "epochs": res.epochs_run, "best_psnr": round(res.best_psnr, 4),
             "final_psnr": round(res.final_psnr, 4),
             "final_loss": round(res.final_loss, 6), "run_dir": res.run_dir,
@@ -46,6 +57,11 @@ def main(epochs, seeds):
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-    seeds = [int(s) for s in sys.argv[2:]] or [65535]
-    main(epochs, seeds)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    precision = None
+    for a in sys.argv[1:]:
+        if a.startswith("--precision="):
+            precision = a.split("=", 1)[1]
+    epochs = int(args[0]) if args else 5000
+    seeds = [int(s) for s in args[1:]] or [65535]
+    main(epochs, seeds, precision)
