@@ -188,8 +188,48 @@ _gather_rows_rev.defvjp(_gather_rows_rev_fwd, _gather_rows_rev_bwd)
 _CELL_CHUNK_BUDGET = 1 << 23
 
 
+def _cells_fwd_impl(per_level_table, ids, n_ls, side):
+    """Cell-table forward: gather (P, L) 2x2-patch rows instead of
+    (P, L, V) single-vertex rows.
+
+    TPU gathers are row-granular and crawl on 8-byte (F=2 fp32) rows
+    (~1.5 GB/s effective, measured); a pixel's V=4 corners are one 2x2 patch
+    of the vertex grid, so pre-building a per-level (cells, V*F) table with
+    four static slice-shifts makes each gathered row 4x wider and cuts the
+    row count 4x. Values are identical to the per-vertex gather."""
+    l, u, f = per_level_table.shape
+    p, _, v = ids.shape
+    parts, offs, cum = [], [], 0
+    for li in range(l):
+        c_l = int(n_ls[li]) + 1
+        grid = per_level_table[li].reshape(side, side, f)
+        patch = jnp.stack(
+            [
+                grid[oi : oi + c_l, oj : oj + c_l]
+                for vi in range(v)
+                for oi, oj in ((vi & 1, vi >> 1),)
+            ],
+            axis=2,
+        )                                             # (c_l, c_l, V, F)
+        parts.append(patch.reshape(c_l * c_l, v * f))
+        offs.append(cum)
+        cum += c_l * c_l
+    flat = jnp.concatenate(parts, axis=0)             # (total_cells, V*F)
+    base = ids[:, :, 0]                               # corner v=0 = cell base
+    ci, cj = jnp.divmod(base, side)
+    c_ls = jnp.asarray([int(n) + 1 for n in n_ls], jnp.int32)
+    cell = ci * c_ls[None, :] + cj + jnp.asarray(offs, jnp.int32)[None, :]
+    rows = jnp.take(flat, cell, axis=0)               # (P, L, V*F)
+    return rows.reshape(p, l, v, f)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _gather_rows_cells(per_level_table, ids, n_ls, side):
+    # NOTE: the per-vertex _flat_gather_impl wins over _cells_fwd_impl inside
+    # the full epoch program (13.9M vs 10.9M px/s measured end-to-end): XLA
+    # fuses the narrow gather with the downstream blend/interp, which the
+    # explicit cell-table construction defeats. _cells_fwd_impl kept above
+    # for layout experiments.
     return _flat_gather_impl(per_level_table, ids)
 
 
