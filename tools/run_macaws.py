@@ -30,6 +30,7 @@ def main(epochs=1500):
             logger=JsonlLogger(f"runs/{stem}_4061.jsonl"),
             collect_history=False,
             verbose=True,
+            epoch_span=33,
         )
         print(json.dumps({
             "image": name, "pixels": data.num_pixels, "epochs": res.epochs_run,
