@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Epochs per device call (lax.scan over epochs). >1 "
                         "amortizes host dispatch latency; logging/early-stop "
                         "still evaluate per epoch (see trainer.fit).")
+    p.add_argument("--ensemble", type=int, default=1,
+                   help=">1: train that many same-shape configs per vmapped "
+                        "device program (scalar metrics only; see "
+                        "trainer.fit_ensemble).")
     p.add_argument("--platform", type=str, default="auto",
                    choices=["auto", "cpu", "tpu"],
                    help="Force the JAX platform (the environment may pin a "
@@ -136,6 +140,7 @@ def main(argv=None) -> int:
         shard_count=None if args.shard_count < 0 else args.shard_count,
         progress=sys.stdout.isatty(),
         epoch_span=args.epoch_span,
+        ensemble_size=args.ensemble,
     )
     for row in results:
         print(f"grid {row['grid_id']}: best PSNR {row['best_psnr']:.3f} "

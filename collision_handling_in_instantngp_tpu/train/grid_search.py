@@ -66,6 +66,7 @@ def run_grid_search(
     progress: bool = False,
     epoch_span: int = 1,
     compile_cache: bool = True,
+    ensemble_size: int = 1,
 ) -> List[Dict[str, Any]]:
     """Sweep configs [start_id, end_id] (inclusive start, exclusive end like the
     reference's slice at functions.py:503). Returns one summary row per config
@@ -99,6 +100,14 @@ def run_grid_search(
     done = load_manifest(manifest_path) if manifest_path else {}
     results: List[Dict[str, Any]] = []
     fn_cache = EpochFnCache() if compile_cache else None
+
+    if ensemble_size > 1:
+        return _run_ensembled(
+            data, ids, grid, done, results, base_model=base_model,
+            base_train=base_train, epochs=epochs,
+            manifest_path=manifest_path, verbose=verbose,
+            epoch_span=epoch_span, ensemble_size=ensemble_size,
+        )
 
     for grid_id in ids:
         if grid_id in done:
@@ -140,4 +149,65 @@ def run_grid_search(
         if manifest_path:
             append_manifest(manifest_path, row)
         results.append(row)
+    return results
+
+
+def _run_ensembled(
+    data, ids, grid, done, results, *, base_model, base_train, epochs,
+    manifest_path, verbose, epoch_span, ensemble_size,
+):
+    """Ensembled sweep body: group pending ids by SHAPE class and train each
+    group of up to ensemble_size configs in one vmapped program
+    (trainer.fit_ensemble — SURVEY §2.4 "vmapped small-model ensembles").
+    Manifest rows are identical to the per-config path; media/histogram
+    logging and exact best-epoch checkpoints need the per-config path."""
+    from collections import defaultdict
+
+    from .trainer import fit_ensemble
+
+    pending = []
+    for grid_id in ids:
+        if grid_id in done:
+            if verbose:
+                print(f"grid {grid_id}: already complete (manifest), skipping")
+            results.append(done[grid_id])
+            continue
+        pending.append(grid_id)
+
+    groups = defaultdict(list)
+    for grid_id in pending:
+        exp = experiment_from_grid_id(
+            grid_id, base_model=base_model, base_train=base_train, grid=grid
+        )
+        key = (exp.model, exp.train.batch_fraction)
+        groups[key].append((grid_id, exp))
+
+    for key, members in groups.items():
+        for i in range(0, len(members), ensemble_size):
+            chunk = members[i : i + ensemble_size]
+            exps = [e for _, e in chunk]
+            if verbose:
+                print(
+                    f"ensemble ({len(chunk)} configs): "
+                    f"{[g for g, _ in chunk]}"
+                )
+            fits = fit_ensemble(
+                exps, data, epochs=epochs, epoch_span=max(1, epoch_span),
+                run_names=[f"ens{g}" for g, _ in chunk], verbose=verbose,
+            )
+            for (grid_id, _), result in zip(chunk, fits):
+                row = {
+                    "grid_id": grid_id,
+                    "image": data.name,
+                    "best_psnr": result.best_psnr,
+                    "final_psnr": result.final_psnr,
+                    "final_loss": result.final_loss,
+                    "epochs_run": result.epochs_run,
+                    "stopped_early": result.stopped_early,
+                    "zero_collision_abort": result.zero_collision_abort,
+                    "run_dir": result.run_dir,
+                }
+                if manifest_path:
+                    append_manifest(manifest_path, row)
+                results.append(row)
     return results

@@ -408,6 +408,7 @@ def make_epoch_fn(
         tx: optax.GradientTransformation,
         num_pixels: int,
         span: Optional[int] = None,
+        ensemble: bool = False,
     ):
         """span=None: one device call per epoch (exact reference cadence).
         span=S: ONE device call executes S epochs via lax.scan and returns
@@ -415,7 +416,49 @@ def make_epoch_fn(
         last_indices) — this amortizes the per-call dispatch/transfer latency
         of the host<->device link, which dominates wall-clock for this tiny
         model (the reference pays ~10 host syncs per epoch,
-        functions.py:247-267; we pay ~1 per S epochs)."""
+        functions.py:247-267; we pay ~1 per S epochs).
+
+        ensemble=True (requires dynamic_hypers): state and hypers carry a
+        leading ENSEMBLE axis — E same-shape grid configs train side by side
+        in one program (vmap over params/optimizer state/hyper-params, the
+        pixel batches shared). The ~58K-param models leave the MXU idle when
+        run one-at-a-time; batching configs multiplies grid-search throughput
+        per chip (SURVEY §2.4 "vmapped small-model ensembles"). Returns carry
+        the ensemble axis on every metric (span mode: (S, E, ...))."""
+        if ensemble:
+            assert dynamic_hypers, "ensemble mode requires dynamic_hypers"
+
+            def pos_step(st, batches, hypers):
+                return epoch_fn(
+                    st, batches, num_pixels=num_pixels, tx_update=tx.update,
+                    hypers=hypers, collect_indices=False,
+                )
+
+            vstep = jax.vmap(pos_step, in_axes=(0, None, 0))
+            if span is None:
+                return jax.jit(vstep)
+
+            def vmulti(state: TrainState, batches: EpochBatches, hypers):
+                _, m_shape, _ = jax.eval_shape(vstep, state, batches, hypers)
+                img0 = jnp.zeros(m_shape.image.shape, m_shape.image.dtype)
+
+                def body(carry, _):
+                    st, _ = carry
+                    st2, m, _ = vstep(st, batches, hypers)
+                    scal = SpanMetrics(
+                        m.loss, m.mse, m.js_kl_per_level,
+                        m.coll_loss_per_level, m.collisions, m.min_possible,
+                        m.int_sq_err, m.match_count,
+                    )
+                    return (st2, m.image), scal
+
+                (st, img), scal = jax.lax.scan(
+                    body, (state, img0), None, length=span
+                )
+                # (S, E, ...) metrics; last epoch's (E, P, C) images
+                return st, scal, img, jnp.zeros((0,), jnp.int32)
+
+            return jax.jit(vmulti)
         step = functools.partial(
             epoch_fn, num_pixels=num_pixels, tx_update=tx.update
         )

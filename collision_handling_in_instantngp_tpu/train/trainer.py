@@ -401,3 +401,181 @@ def fit(
         final_image=final_img,
         run_dir=run_dir,
     )
+
+
+def fit_ensemble(
+    exps: List[ExperimentConfig],
+    data: ImageData,
+    *,
+    epochs: Optional[int] = None,
+    epoch_span: int = 33,
+    loggers: Optional[List[MetricLogger]] = None,
+    run_names: Optional[List[str]] = None,
+    verbose: bool = False,
+) -> List[FitResult]:
+    """Train E SAME-SHAPE configs simultaneously in one vmapped program
+    (SURVEY §2.4 "vmapped small-model ensembles per chip").
+
+    The ~58K-param models leave the MXU almost idle one-at-a-time; batching
+    configs over a leading ensemble axis multiplies grid-search throughput
+    per chip AND amortizes the XLA compile across the whole group (the
+    programs are identical because loss weights/lrs are runtime HyperParams).
+
+    All exps must share one shape class (identical ModelConfig up to
+    hyper-scalars, identical batch_fraction). Semantics vs per-config fit():
+    per-epoch scalar metrics, best-PSNR tracking, early stopping and the
+    zero-collision abort are evaluated PER CONFIG on the host from the
+    stacked metrics (a stopped config's metrics freeze at its stop epoch but
+    its lane keeps computing until the whole group finishes — wasted FLOPs,
+    not wrong results); histogram statistics and media logging are not
+    emitted (use fit() for those); checkpoints save each config's FINAL
+    params (fit() preserves exact best-epoch checkpoints); the pixel SHUFFLE
+    comes from exps[0].train.seed for the whole group (the batches are
+    broadcast across the vmap), so per-config seeds vary the parameter INIT
+    only — a config whose seed equals exps[0]'s reproduces its solo fit()
+    run exactly.
+    """
+    e_count = len(exps)
+    assert e_count >= 1
+    base = exps[0]
+    for e in exps[1:]:
+        assert e.model == base.model, "ensemble configs must share shapes"
+        assert e.train.batch_fraction == base.train.batch_fraction
+    tcfg = base.train
+    epochs = epochs if epochs is not None else tcfg.epochs
+    loggers = loggers or [NullLogger() for _ in exps]
+
+    statics = gngf.make_statics(base.model)
+    shuffled, _ = make_shuffle_permutations(
+        data.num_pixels, tcfg.seed, tcfg.shuffle_pixels
+    )
+    batches = build_epoch_batches(
+        data.coords, data.targets, tcfg.batch_fraction, shuffled,
+        og_image=data.image, model_cfg=base.model, statics=statics,
+    )
+    init_state, make_jitted = make_epoch_fn(
+        base, statics, dynamic_hypers=True
+    )
+    states, tx = [], None
+    for e in exps:
+        st, tx = init_state(jax.random.PRNGKey(e.train.seed))
+        states.append(st)
+    state = jax.tree_util.tree_map(lambda *xs: jax.numpy.stack(xs), *states)
+    hypers = jax.tree_util.tree_map(
+        lambda *xs: jax.numpy.stack(xs),
+        *[HyperParams.from_exp(e) for e in exps],
+    )
+    span_fn = make_jitted(
+        tx, data.num_pixels, span=max(1, epoch_span), ensemble=True
+    )
+
+    og_max = float(np.max(data.image))
+    values_per_img = data.num_pixels * data.channels
+    stoppers = [
+        EarlyStopping(tolerance=e.train.tolerance, min_delta=e.train.min_delta)
+        for e in exps
+    ]
+    check_last2 = [[] for _ in exps]
+    zero_abort = [False] * e_count
+    best_psnr = [0.0] * e_count
+    stop_epoch = [None] * e_count
+    final = [
+        {"psnr": float("nan"), "loss": float("nan")} for _ in exps
+    ]
+
+    ep = 0
+    while ep < epochs and not all(s.early_stop for s in stoppers):
+        n = min(max(1, epoch_span), epochs - ep)
+        state, scal, images, _ = span_fn(state, batches, hypers)
+        vals = jax.device_get(scal)  # each field (S, E, ...)
+        for j in range(n):
+            for ei, exp in enumerate(exps):
+                if stoppers[ei].early_stop:
+                    continue
+                loss = float(vals.loss[j, ei])
+                int_sq = float(vals.int_sq_err[j, ei])
+                psnr = float(
+                    20 * np.log10(og_max)
+                    - 10 * np.log10(max(int_sq, 1e-12))
+                )
+                acc = float(vals.match_count[j, ei]) / values_per_img * 100
+                row = {
+                    "train_loss": loss,
+                    "train_accuracy": acc,
+                    "train_psnr": psnr,
+                    "mse_loss": float(vals.mse[j, ei]),
+                }
+                for l in range(base.model.num_levels):
+                    row[f"kl_div_loss_level{l}"] = float(
+                        vals.js_kl_per_level[j, ei, l]
+                    )
+                    row[f"collisions_level{l}"] = float(
+                        vals.collisions[j, ei, l]
+                    )
+                loggers[ei].log(row, step=ep + j)
+                best_psnr[ei] = max(best_psnr[ei], psnr)
+                final[ei] = {"psnr": psnr, "loss": loss}
+                e_abs = ep + j
+                if (
+                    exp.train.zero_collision_abort and e_abs != 0
+                    and len(check_last2[ei]) < 10
+                ):
+                    check_last2[ei].append(
+                        bool(np.all(vals.collisions[j, ei, -2:] == 0))
+                    )
+                    if len(check_last2[ei]) == 10 and all(check_last2[ei]):
+                        zero_abort[ei] = True
+                        stoppers[ei].early_stop = True
+                        stop_epoch[ei] = e_abs
+                        continue
+                if stoppers[ei].early_stop:
+                    stop_epoch[ei] = e_abs
+                elif e_abs != 0:
+                    stoppers[ei](loss)
+        ep += n
+
+    images_np = np.asarray(images)
+    results = []
+    for ei, exp in enumerate(exps):
+        run_dir = None
+        if exp.train.save_params:
+            name = (
+                run_names[ei] if run_names else time.strftime("%Y%m%d%H%M%S")
+            )
+            rid = exp.grid_id if exp.grid_id is not None else "run"
+            run_dir = os.path.join(exp.train.checkpoint_dir, f"{rid}_{name}")
+            params_e = jax.tree_util.tree_map(lambda x: x[ei], state.params)
+            opt_e = jax.tree_util.tree_map(lambda x: x[ei], state.opt_state)
+            bn_e = (
+                jax.tree_util.tree_map(lambda x: x[ei], state.bn_state)
+                if state.bn_state is not None
+                else None
+            )
+            ckpt.save_run_checkpoint(
+                run_dir, params_e, opt_e, bn_e, model_cfg=exp.model
+            )
+        loggers[ei].finish()
+        se = stop_epoch[ei]
+        results.append(
+            FitResult(
+                best_psnr=best_psnr[ei],
+                final_psnr=final[ei]["psnr"],
+                final_loss=final[ei]["loss"],
+                epochs_run=(se + 1) if se is not None else min(ep, epochs),
+                stopped_early=stoppers[ei].early_stop,
+                zero_collision_abort=zero_abort[ei],
+                state=None,
+                history=[],
+                final_image=to_uint8_image(
+                    images_np[ei], data.height, data.width, data.channels
+                ),
+                run_dir=run_dir,
+            )
+        )
+    if verbose:
+        for exp, r in zip(exps, results):
+            print(
+                f"ensemble grid {exp.grid_id}: best PSNR {r.best_psnr:.3f} "
+                f"({r.epochs_run} epochs)"
+            )
+    return results
