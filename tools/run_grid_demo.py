@@ -8,8 +8,10 @@ a multi-host run would — grid_search.py:88-89), 300-epoch budget, with the
 compile-sharing EpochFnCache so same-shape configs reuse one XLA program.
 
 Usage: python tools/run_grid_demo.py [start=4048] [count=32] [epochs=300]
-                                     [shards=2]
-Prints one JSON summary line; manifest in runs/grid_demo_manifest.jsonl.
+                                     [shards=2] [ensemble=1] [manifest-tag]
+Prints one JSON summary line; manifest in runs/grid_demo{tag}_manifest.jsonl.
+ensemble>1 trains that many same-shape configs per vmapped program
+(trainer.fit_ensemble) — one compile per shape class for the whole group.
 """
 
 import json
@@ -25,10 +27,10 @@ from collision_handling_in_instantngp_tpu.train.grid_search import (
 )
 
 
-def main(start, count, epochs, shards):
+def main(start, count, epochs, shards, ensemble=1, tag=""):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data = load_image_dataset(os.path.join(repo, "images", "strawberry.jpeg"))
-    manifest = "runs/grid_demo_manifest.jsonl"
+    manifest = f"runs/grid_demo{tag}_manifest.jsonl"
 
     t0 = time.perf_counter()
     all_rows = []
@@ -43,6 +45,7 @@ def main(start, count, epochs, shards):
             shard_count=shards,
             verbose=False,
             epoch_span=33,
+            ensemble_size=ensemble,
         )
         all_rows.extend(rows)
         print(json.dumps({"shard": shard, "configs": len(rows),
@@ -72,4 +75,6 @@ if __name__ == "__main__":
         int(a[1]) if len(a) > 1 else 32,
         int(a[2]) if len(a) > 2 else 300,
         int(a[3]) if len(a) > 3 else 2,
+        int(a[4]) if len(a) > 4 else 1,
+        a[5] if len(a) > 5 else "",
     )
