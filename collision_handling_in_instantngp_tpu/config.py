@@ -81,6 +81,12 @@ class ModelConfig:
     # MXU matmul precision: "highest" = true fp32 (reference-parity; torch
     # trains in fp32), "default" = fast bf16-multiply/fp32-accumulate passes.
     matmul_precision: str = "highest"
+    # None (default) = exact top-k (reference parity). A float in (0, 1)
+    # switches the streamed fused-HPD paths to the TPU-native
+    # lax.approx_max_k partial-reduction with that recall target —
+    # measured ~14x faster than exact top-k over T=2^14 lanes (opt-in:
+    # approximate candidate selection changes training trajectories)
+    topk_approx_recall: Optional[float] = None
     # Fused HPD tail (ops/fused_hpd.py): stream softmax+topk+marginal over row
     # chunks instead of materializing the dense (P, L, V, T) probs tensor.
     # False = dense reference path (the parity oracle).

@@ -116,7 +116,7 @@ def apply_hpd_unique(
     )
     marginal_raw, values, indices = hpd_tail_unique(
         h, params[-1]["w"], params[-1]["b"], counts_in,
-        cfg.topk_k, cfg.matmul_precision, noop,
+        cfg.topk_k, cfg.matmul_precision, noop, cfg.topk_approx_recall,
     )
     if counts is None or cfg.keep_topk_only:
         marginal_raw = None
@@ -178,7 +178,7 @@ def apply_hpd_fused(
         h = hidden_stack(rows, params[:-1])
         marginal, vals, idx = hpd_tail(
             h, params[-1]["w"], params[-1]["b"], cfg.topk_k,
-            cfg.matmul_precision, backend,
+            cfg.matmul_precision, backend, cfg.topk_approx_recall,
         )
     k = cfg.topk_k
     values = jnp.transpose(vals.reshape(l, p, v, k), (1, 0, 2, 3))

@@ -208,13 +208,16 @@ def used_slot_presence(
     (l, k) iff some vertex with count_{l,v} > 0 has idx_unique[v, k] == t.
     """
     u, k = idx_unique.shape
+    # bf16 operands are exact for 0/1 indicators and the MXU accumulates in
+    # fp32 — halves the (U, K, T) contraction's traffic at scaled tables
     onehot = (
         idx_unique[:, :, None]
         == jax.lax.broadcasted_iota(jnp.int32, (1, 1, hash_table_size), 2)
-    ).astype(jnp.float32)                                    # (U, K, T)
-    present = (counts > 0).astype(jnp.float32)               # (L, U)
+    ).astype(jnp.bfloat16)                                   # (U, K, T)
+    present = (counts > 0).astype(jnp.bfloat16)              # (L, U)
     hits = jnp.einsum(
-        "lu,ukt->lkt", present, onehot, precision="highest"
+        "lu,ukt->lkt", present, onehot,
+        preferred_element_type=jnp.float32,
     )
     return hits > 0
 

@@ -42,6 +42,35 @@ CHUNK_ROWS = 4096
 # target elements per streamed (L, R, T) tile — bounds peak memory for
 # scaled-table configs (BASELINE.json config 4: T up to 2^14+)
 _TILE_BUDGET = 1 << 24
+# widest K for the compare-accumulate scatter-free top-k gradient expansion
+_SCATTER_FREE_MAX_K = 16
+
+
+def _scatter_topk_grad(p_like, idx, gv):
+    """Expand per-row top-k cotangents to the dense T axis WITHOUT a scatter.
+
+    TPU scatters serialize; ``put_along_axis`` on a (R, T) tile measured
+    ~100+ ms/batch at scaled shapes. For small static K the expansion is K
+    vectorized compare-multiply passes over the tile (exact — each row's K
+    indices are distinct). idx/gv: (..., K); returns shape of ``p_like``.
+
+    Falls back to put_along_axis for wide K (grid axis reaches 128) where K
+    compare passes would exceed the scatter cost."""
+    k = idx.shape[-1]
+    if k > _SCATTER_FREE_MAX_K:
+        return jnp.put_along_axis(
+            jnp.zeros_like(p_like), idx, gv.astype(p_like.dtype),
+            axis=-1, inplace=False,
+        )
+    t = p_like.shape[-1]
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (1,) * (p_like.ndim - 1) + (t,), p_like.ndim - 1
+    )
+    out = jnp.zeros_like(p_like)
+    for ki in range(k):
+        hit = (idx[..., ki : ki + 1] == iota).astype(p_like.dtype)
+        out = out + hit * gv[..., ki : ki + 1].astype(p_like.dtype)
+    return out
 
 
 def _chunk_rows(num_levels: int, t: int) -> int:
@@ -57,7 +86,7 @@ def _pad_rows(h: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, int]:
     return h, n
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def hpd_tail(
     h: jnp.ndarray,
     w: jnp.ndarray,
@@ -65,6 +94,7 @@ def hpd_tail(
     k: int,
     precision: str,
     backend: str = "jax",
+    approx_recall=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Streaming fused tail.
 
@@ -81,7 +111,7 @@ def hpd_tail(
     Returns:
       marginal (L, T) float32, topk_vals (L, N, K), topk_idx (L, N, K) int32.
     """
-    out, _ = _fwd_impl(h, w, b, k, precision, backend)
+    out, _ = _fwd_impl(h, w, b, k, precision, backend, approx_recall)
     return out
 
 
@@ -92,7 +122,16 @@ def _chunked(h: jnp.ndarray, chunk: int):
     return jnp.moveaxis(h.reshape(l, c, chunk, hd), 1, 0)
 
 
-def _fwd_impl(h, w, b, k, precision, backend="jax"):
+def _topk(p, k, approx_recall):
+    """Exact lax.top_k, or the TPU partial-reduction approx_max_k when an
+    approximate recall target is configured (ModelConfig.topk_approx_recall
+    — ~14x faster over T=2^14 lanes, opt-in)."""
+    if approx_recall:
+        return jax.lax.approx_max_k(p, k, recall_target=float(approx_recall))
+    return jax.lax.top_k(p, k)
+
+
+def _fwd_impl(h, w, b, k, precision, backend="jax", approx_recall=None):
     if backend.startswith("pallas"):
         from .pallas.hpd_tail import hpd_tail_pallas_fwd
 
@@ -116,7 +155,7 @@ def _fwd_impl(h, w, b, k, precision, backend="jax"):
         )
         valid = (row_ids < n_valid).astype(p.dtype)                # (1, R, 1)
         marg = marg + jnp.sum(p * valid, axis=1)                   # (L, T)
-        vals, idx = jax.lax.top_k(p, k)                            # (L, R, K)
+        vals, idx = _topk(p, k, approx_recall)                     # (L, R, K)
         return marg, (vals, idx.astype(jnp.int32))
 
     marg0 = jnp.zeros((l, t), jnp.float32)
@@ -130,13 +169,13 @@ def _fwd_impl(h, w, b, k, precision, backend="jax"):
     return (marg / denom, vals, idx), None
 
 
-def _hpd_tail_fwd(h, w, b, k, precision, backend="jax"):
-    out, _ = _fwd_impl(h, w, b, k, precision, backend)
+def _hpd_tail_fwd(h, w, b, k, precision, backend="jax", approx_recall=None):
+    out, _ = _fwd_impl(h, w, b, k, precision, backend, approx_recall)
     _, _, idx = out
     return out, (h, w, b, idx)
 
 
-def _hpd_tail_bwd(k, precision, backend, residuals, cotangents):
+def _hpd_tail_bwd(k, precision, backend, approx_recall, residuals, cotangents):
     h, w, b, idx = residuals
     g_marg, g_vals, _g_idx = cotangents
     if backend.startswith("pallas"):
@@ -173,10 +212,7 @@ def _hpd_tail_bwd(k, precision, backend, residuals, cotangents):
             jnp.int32, (1, chunk_rows, 1), 1
         )
         valid = (row_ids < n_valid).astype(p.dtype)
-        g_p = jnp.put_along_axis(
-            jnp.zeros_like(p), idx_chunk, gv_chunk.astype(p.dtype),
-            axis=-1, inplace=False,
-        )
+        g_p = _scatter_topk_grad(p, idx_chunk, gv_chunk)
         g_p = (g_p + g_marg_row) * valid
         # softmax vjp (nan_to_num is identity for finite p)
         dlogits = p * (g_p - jnp.sum(g_p * p, axis=-1, keepdims=True))
@@ -217,7 +253,7 @@ def hpd_tail_dense_reference(h, w, b, k, precision="highest"):
 # Unique-vertex streaming tail (scaled-table configs)                         #
 # --------------------------------------------------------------------------- #
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def hpd_tail_unique(
     h: jnp.ndarray,
     w: jnp.ndarray,
@@ -226,6 +262,7 @@ def hpd_tail_unique(
     k: int,
     precision: str,
     noop_topk: bool = False,
+    approx_recall=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Streaming fused tail over UNIQUE vertices (see ops/dedup.py).
 
@@ -248,7 +285,7 @@ def hpd_tail_unique(
       marginal_raw (L, T) — UNNORMALIZED count-weighted marginal (callers
         divide by the per-level row count), topk vals (U, K), idx (U, K).
     """
-    out, _ = _unique_fwd_impl(h, w, b, counts, k, precision)
+    out, _ = _unique_fwd_impl(h, w, b, counts, k, precision, approx_recall)
     return out
 
 
@@ -256,7 +293,7 @@ def _unique_chunk_rows(t: int) -> int:
     return int(max(256, min(CHUNK_ROWS, _TILE_BUDGET // max(t, 1))))
 
 
-def _unique_fwd_impl(h, w, b, counts, k, precision):
+def _unique_fwd_impl(h, w, b, counts, k, precision, approx_recall=None):
     u, hd = h.shape
     t = w.shape[1]
     chunk = _unique_chunk_rows(t)
@@ -276,7 +313,7 @@ def _unique_fwd_impl(h, w, b, counts, k, precision):
         logits = jnp.matmul(h_chunk, w, precision=precision) + b     # (R, T)
         p = jnp.nan_to_num(jax.nn.softmax(logits, axis=-1))
         marg = marg + jnp.matmul(counts_chunk, p, precision=precision)
-        vals, idx = jax.lax.top_k(p, k)
+        vals, idx = _topk(p, k, approx_recall)
         return marg, (vals, idx.astype(jnp.int32))
 
     marg0 = jnp.zeros((counts.shape[0], t), jnp.float32)
@@ -286,13 +323,15 @@ def _unique_fwd_impl(h, w, b, counts, k, precision):
     return (marg, vals, idx), None
 
 
-def _unique_fwd(h, w, b, counts, k, precision, noop_topk=False):
-    out, _ = _unique_fwd_impl(h, w, b, counts, k, precision)
+def _unique_fwd(h, w, b, counts, k, precision, noop_topk=False,
+                approx_recall=None):
+    out, _ = _unique_fwd_impl(h, w, b, counts, k, precision, approx_recall)
     _, _, idx = out
     return out, (h, w, b, counts, idx)
 
 
-def _unique_bwd(k, precision, noop_topk, residuals, cotangents):
+def _unique_bwd(k, precision, noop_topk, approx_recall, residuals,
+                cotangents):
     h, w, b, counts, idx = residuals
     g_marg, g_vals, _g_idx = cotangents
     u, hd = h.shape
@@ -322,10 +361,7 @@ def _unique_bwd(k, precision, noop_topk, residuals, cotangents):
             counts_chunk.T, g_marg, precision=precision
         )                                                            # (R, T)
         if not noop_topk:
-            g_p = g_p + jnp.put_along_axis(
-                jnp.zeros_like(p), idx_chunk, gv_chunk.astype(p.dtype),
-                axis=-1, inplace=False,
-            )
+            g_p = g_p + _scatter_topk_grad(p, idx_chunk, gv_chunk)
         dlogits = p * (g_p - jnp.sum(g_p * p, axis=-1, keepdims=True))
         dh_chunk = jnp.matmul(dlogits, w.T, precision=precision)
         dw = dw + jnp.matmul(h_chunk.T, dlogits, precision=precision)

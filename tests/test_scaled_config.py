@@ -75,3 +75,43 @@ def test_scaled_vanilla_path(rng):
     idx = np.asarray(out.indices)
     assert idx.shape == (64, 16, 4)
     assert idx.min() >= 0 and idx.max() < 2**14
+
+
+def test_topk_approx_recall_opt_in(rng):
+    """topk_approx_recall switches the streamed tails to lax.approx_max_k
+    (exact fallback on CPU) and the epoch still trains to finite loss."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from collision_handling_in_instantngp_tpu.config import (
+        experiment_from_grid_id,
+    )
+    from collision_handling_in_instantngp_tpu.models import gngf
+    from collision_handling_in_instantngp_tpu.train.train_step import (
+        build_epoch_batches,
+        make_epoch_fn,
+    )
+
+    exp = experiment_from_grid_id(4061)
+    model = dataclasses.replace(
+        exp.model, hash_table_size=256, hpd_hidden=(8, 16),
+        topk_approx_recall=0.95, hpd_backend="unique_stream",
+    )
+    exp = dataclasses.replace(exp, model=model)
+    statics = gngf.make_statics(model)
+    p = 300
+    coords = rng.random((p, 2)).astype(np.float32)
+    targets = rng.random((p, 3)).astype(np.float32)
+    perm = np.arange(p, dtype=np.int32)
+    batches = build_epoch_batches(
+        coords, targets, 1 / 3, perm, model_cfg=model, statics=statics
+    )
+    init_state, make_jitted = make_epoch_fn(exp, statics)
+    state, tx = init_state(jax.random.PRNGKey(0))
+    epoch = make_jitted(tx, p)
+    for _ in range(2):
+        state, metrics, _ = epoch(state, batches)
+    assert np.isfinite(float(metrics.loss))
+    assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(state.params)[0])).all()
