@@ -41,6 +41,12 @@ def main() -> None:
              "1 = one call per epoch (round-1 measurement mode).",
     )
     ap.add_argument(
+        "--batch-fraction", type=float, default=None,
+        help="Override the per-step batch as a fraction of the image. The "
+             "reference trains at 1/3 (params.py:43); scaled mode defaults "
+             "to 1/8 (its round-1 HBM concession).",
+    )
+    ap.add_argument(
         "--precision", default=None, choices=[None, "highest", "default"],
         help="Override matmul precision ('default' = fast bf16-multiply "
              "MXU path; the headline metric uses the config's fp32 "
@@ -80,6 +86,13 @@ def main() -> None:
             exp,
             model=instantngp_scaled_model(),
             train=dataclasses.replace(exp.train, batch_fraction=1 / 8),
+        )
+    if args.batch_fraction:
+        exp = dataclasses.replace(
+            exp,
+            train=dataclasses.replace(
+                exp.train, batch_fraction=args.batch_fraction
+            ),
         )
     if args.precision:
         exp = dataclasses.replace(

@@ -122,26 +122,69 @@ def blend_weights(probs_topk: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
 _BLEND_CHUNK_BUDGET = 1 << 24
 
 
+# past this many U*T elements the blend switches from the fused-gather form
+# to the chunked selection-matrix (S-matrix) form: at scaled tables the
+# gather's (U, L, K, F) value (F=2 on lanes -> 64x tile padding) measured
+# 8.06 GB of HBM temp — an OOM by itself — while S @ tables is MXU work on
+# (R, T) chunks that never materializes anything K- or F-minor at full U
+_BLEND_SMATRIX_MIN_ELEMENTS = 1 << 25
+
+
+def _selection_matrix(idx_chunk, w_chunk, t, dtype):
+    """S[r, t] = sum_k w[r, k] * 1[idx[r, k] == t] — K scatter-free compare
+    passes (top-k ids are distinct per row, so this equals the K-blend)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+    s = jnp.zeros((idx_chunk.shape[0], t), dtype)
+    for ki in range(idx_chunk.shape[1]):
+        hit = (idx_chunk[:, ki : ki + 1] == iota).astype(dtype)
+        s = s + hit * w_chunk[:, ki : ki + 1]
+    return s
+
+
 @jax.custom_vjp
 def _blend_core(tables, idx_unique, w):
     """gather + K-blend on unique vertices: (L,T,F) tables, (U,K) ids shared
     by every level, (U,K) blend weights -> (L,U,F)."""
-    return _blend_core_impl(tables, idx_unique, w)[0]
+    return _blend_core_impl(tables, idx_unique, w)
 
 
 def _blend_core_impl(tables, idx_unique, w):
     l, t, f = tables.shape
     u, k = idx_unique.shape
-    idx_bcast = jnp.broadcast_to(idx_unique[:, None, :], (u, l, k))
-    gathered = _flat_gather_impl(tables, idx_bcast)            # (U, L, K, F)
-    return jnp.einsum(
-        "ulkf,uk->luf", gathered, w, precision="highest"
-    ), gathered
+    if u * t <= _BLEND_SMATRIX_MIN_ELEMENTS:
+        idx_bcast = jnp.broadcast_to(idx_unique[:, None, :], (u, l, k))
+        gathered = _flat_gather_impl(tables, idx_bcast)        # (U, L, K, F)
+        return jnp.einsum("ulkf,uk->luf", gathered, w, precision="highest")
+    # scaled tables: out[l,u,f] = sum_t S[u,t] * tables[l,t,f], S chunked
+    chunk = max(256, min(u, _BLEND_CHUNK_BUDGET // max(t, 1)))
+    pad = (-u) % chunk
+    idx_p = jnp.pad(idx_unique, ((0, pad), (0, 0)), constant_values=0)
+    w_p = jnp.pad(w, ((0, pad), (0, 0)))
+    c = idx_p.shape[0] // chunk
+
+    def body(_, xs):
+        idx_chunk, w_chunk = xs
+        s = _selection_matrix(idx_chunk, w_chunk, t, w.dtype)  # (R, T)
+        out_chunk = jnp.einsum(
+            "rt,ltf->lrf", s, tables, precision="highest"
+        )
+        return None, out_chunk
+
+    _, out_chunks = jax.lax.scan(
+        body, None,
+        (idx_p.reshape(c, chunk, k), w_p.reshape(c, chunk, k)),
+    )                                                          # (C, L, R, F)
+    return jnp.moveaxis(out_chunks, 0, 1).reshape(l, c * chunk, f)[:, :u]
 
 
 def _blend_core_fwd(tables, idx_unique, w):
-    out, gathered = _blend_core_impl(tables, idx_unique, w)
-    return out, (tables.shape, idx_unique, w, gathered)
+    out = _blend_core_impl(tables, idx_unique, w)
+    # Residuals deliberately EXCLUDE the gathered (U, L, K, F) features: with
+    # F on lanes that residual tiles to (8, 128) with a 64x padding blow-up
+    # (measured 8.06 GB of HBM temp at the scaled config — an OOM by itself).
+    # The tables are a live parameter already; the backward recomputes what
+    # it needs per chunk.
+    return out, (tables, idx_unique, w)
 
 
 def _blend_core_bwd(res, g):
@@ -152,10 +195,9 @@ def _blend_core_bwd(res, g):
     contraction. The generic per-level one-hot VJP degrades to thousands of
     64-row scan steps at scaled tables (T=2^14, L=16) — measured ~700 ms per
     batch; this form is ~30 ms."""
-    (l, t, f), idx, w, gathered = res                          # g: (L, U, F)
+    tables, idx, w = res                                       # g: (L, U, F)
+    l, t, f = tables.shape
     u, k = idx.shape
-    # d w and d gathered are cheap einsums against the stored residuals
-    dw = jnp.einsum("ulkf,luf->uk", gathered, g, precision="highest")
     chunk = max(256, min(u, _BLEND_CHUNK_BUDGET // max(t, 1)))
     pad = (-u) % chunk
     idx_p = jnp.pad(idx, ((0, pad), (0, 0)), constant_values=0)
@@ -167,20 +209,50 @@ def _blend_core_bwd(res, g):
     g_c = jnp.moveaxis(g_p.reshape(l, c, chunk, f), 1, 0)      # (C, L, R, F)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
 
+    smatrix_form = u * t > _BLEND_SMATRIX_MIN_ELEMENTS
+
     def body(acc, xs):
         idx_chunk, w_chunk, g_chunk = xs
-        s = jnp.zeros((chunk, t), g.dtype)
-        for ki in range(k):
-            hit = (idx_chunk[:, ki : ki + 1] == iota).astype(g.dtype)
-            s = s + hit * w_chunk[:, ki : ki + 1]
+        s = _selection_matrix(idx_chunk, w_chunk, t, g.dtype)  # (R, T)
         acc = acc + jnp.einsum(
             "lrf,rt->ltf", g_chunk, s, precision="highest"
         )
-        return acc, None
+        # d w per chunk — never materializes anything (U, ...)-shaped (the
+        # whole-array gather form persisted a (U, L, K, F) value whose
+        # F-on-lanes layout pads 64x: measured 8.06 GB of HBM temp at the
+        # scaled config, an OOM by itself):
+        if smatrix_form:
+            # dw[r,k] = B[r, idx[r,k]] with B = sum_{l,f} tables*g (MXU),
+            # extracted by K compare passes (no gather)
+            bmat = jnp.einsum(
+                "ltf,lrf->rt", tables, g_chunk, precision="highest"
+            )
+            dw_chunk = jnp.stack(
+                [
+                    jnp.sum(
+                        jnp.where(
+                            idx_chunk[:, ki : ki + 1] == iota, bmat, 0.0
+                        ),
+                        axis=-1,
+                    )
+                    for ki in range(k)
+                ],
+                axis=-1,
+            )
+        else:
+            gath = _flat_gather_impl(
+                tables,
+                jnp.broadcast_to(idx_chunk[:, None, :], (chunk, l, k)),
+            )                                                  # (R, L, K, F)
+            dw_chunk = jnp.einsum(
+                "rlkf,lrf->rk", gath, g_chunk, precision="highest"
+            )
+        return acc, dw_chunk
 
-    dt, _ = jax.lax.scan(
+    dt, dw_chunks = jax.lax.scan(
         body, jnp.zeros((l, t, f), g.dtype), (idx_c, w_c, g_c)
     )
+    dw = dw_chunks.reshape(c * chunk, k)[:u]
     return dt, None, dw
 
 

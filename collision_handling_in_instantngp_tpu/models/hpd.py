@@ -114,9 +114,27 @@ def apply_hpd_unique(
         if counts is not None
         else jnp.zeros((1, u), jnp.float32)
     )
+    # streaming-tail backend: the TPU kernel pair (ops/pallas/hpd_stream.py)
+    # keeps each (R, TT) logits tile in VMEM — the jax scan's (R, T) HBM
+    # round trips between matmul/softmax/top_k dominate at scaled T.
+    # Exact-top-k only; approx_max_k stays on the jax path.
+    from ..ops.pallas.hpd_stream import supports as _stream_supports
+
+    tail_backend = "jax"
+    if cfg.topk_approx_recall is None and _stream_supports(t, cfg.topk_k):
+        if cfg.hpd_backend == "unique_stream_pallas":
+            tail_backend = "pallas"
+        elif cfg.hpd_backend == "unique_stream_pallas_interpret":
+            tail_backend = "pallas_interpret"
+        elif (
+            cfg.hpd_backend in ("auto", "unique_stream")
+            and jax.devices()[0].platform != "cpu"
+        ):
+            tail_backend = "pallas"
     marginal_raw, values, indices = hpd_tail_unique(
         h, params[-1]["w"], params[-1]["b"], counts_in,
         cfg.topk_k, cfg.matmul_precision, noop, cfg.topk_approx_recall,
+        tail_backend,
     )
     if counts is None or cfg.keep_topk_only:
         marginal_raw = None

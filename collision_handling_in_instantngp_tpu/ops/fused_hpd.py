@@ -253,7 +253,7 @@ def hpd_tail_dense_reference(h, w, b, k, precision="highest"):
 # Unique-vertex streaming tail (scaled-table configs)                         #
 # --------------------------------------------------------------------------- #
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def hpd_tail_unique(
     h: jnp.ndarray,
     w: jnp.ndarray,
@@ -263,6 +263,7 @@ def hpd_tail_unique(
     precision: str,
     noop_topk: bool = False,
     approx_recall=None,
+    backend: str = "jax",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Streaming fused tail over UNIQUE vertices (see ops/dedup.py).
 
@@ -280,12 +281,19 @@ def hpd_tail_unique(
       noop_topk: reference ``should_inplace_scatter=None`` quirk
         (models.py:31) — the straight-through top-k backward is dropped (the
         marginal gradient still flows).
+      backend: "jax" (lax.scan streaming), "pallas" (TPU streaming kernels,
+        ops/pallas/hpd_stream.py — exact top-k selection on logits, online
+        softmax; T tiled past the single-tile kernels' cap),
+        "pallas_interpret" (same kernels under the interpreter — CPU tests).
+        The backward always runs the jax streaming VJP.
 
     Returns:
       marginal_raw (L, T) — UNNORMALIZED count-weighted marginal (callers
         divide by the per-level row count), topk vals (U, K), idx (U, K).
     """
-    out, _ = _unique_fwd_impl(h, w, b, counts, k, precision, approx_recall)
+    out, _ = _unique_fwd_impl(
+        h, w, b, counts, k, precision, approx_recall, backend
+    )
     return out
 
 
@@ -293,7 +301,16 @@ def _unique_chunk_rows(t: int) -> int:
     return int(max(256, min(CHUNK_ROWS, _TILE_BUDGET // max(t, 1))))
 
 
-def _unique_fwd_impl(h, w, b, counts, k, precision, approx_recall=None):
+def _unique_fwd_impl(h, w, b, counts, k, precision, approx_recall=None,
+                     backend="jax"):
+    if backend.startswith("pallas"):
+        from .pallas.hpd_stream import hpd_tail_unique_pallas_fwd
+
+        out = hpd_tail_unique_pallas_fwd(
+            h, w, b, counts, k, precision,
+            interpret=(backend == "pallas_interpret"),
+        )
+        return out, None
     u, hd = h.shape
     t = w.shape[1]
     chunk = _unique_chunk_rows(t)
@@ -324,13 +341,15 @@ def _unique_fwd_impl(h, w, b, counts, k, precision, approx_recall=None):
 
 
 def _unique_fwd(h, w, b, counts, k, precision, noop_topk=False,
-                approx_recall=None):
-    out, _ = _unique_fwd_impl(h, w, b, counts, k, precision, approx_recall)
+                approx_recall=None, backend="jax"):
+    out, _ = _unique_fwd_impl(
+        h, w, b, counts, k, precision, approx_recall, backend
+    )
     _, _, idx = out
     return out, (h, w, b, counts, idx)
 
 
-def _unique_bwd(k, precision, noop_topk, approx_recall, residuals,
+def _unique_bwd(k, precision, noop_topk, approx_recall, backend, residuals,
                 cotangents):
     h, w, b, counts, idx = residuals
     g_marg, g_vals, _g_idx = cotangents

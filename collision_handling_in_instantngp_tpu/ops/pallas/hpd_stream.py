@@ -1,0 +1,311 @@
+"""Pallas TPU kernels for the UNIQUE-vertex fused HPD tail at scaled table
+widths (T past the single-tile kernels' 2048 cap — BASELINE config 4,
+T=2^14+). See ops/fused_hpd.py:hpd_tail_unique for the op contract and
+ops/dedup.py for why rows are unique grid vertices.
+
+The jax streaming path (ops/fused_hpd.py:_unique_fwd_impl) is HBM-bound at
+these shapes: each (R, T) logits/probs chunk makes several HBM round trips
+between the matmul, the softmax, lax.top_k, and the marginal contraction
+(measured on v5e: matmul 12 ms, +softmax 59 ms, +exact top_k 174 ms per
+batch forward at T=2^14). These kernels keep every (R, TT) tile in VMEM.
+
+Two kernels, both on grid (row-blocks C, T-tiles NT) — TPU grid iteration is
+sequential and row-major, so per-row-block running state lives in scratch
+across the inner T-tile sweep:
+
+``select``   one (R, H) @ (H, TT) MXU tile per step; online max/sum-exp
+             (flash-attention-style rescaling) plus a running exact top-k.
+             Selection runs on RAW LOGITS — softmax is strictly monotonic
+             per row, so top-k indices over probabilities equal top-k over
+             logits (reference models.py:116 applies torch.topk to softmax
+             output; same selection) — and the K probability values are
+             normalized once at the sweep's end: exp(logit - m) / s.
+             Also emits (m, s) per row, consumed by the marginal kernel
+             (and reusable by a backward kernel).
+
+``marginal`` recomputes each logits tile, forms p = exp(logit - m)/s, and
+             accumulates the count-weighted per-level marginal
+             m_l += counts_l @ p on the MXU into a VMEM-resident (L, T)
+             block (constant index map -> deterministic sequential
+             accumulation; SURVEY.md §7 "scatter-add determinism").
+
+Exactness: identical math to the jax oracle up to summation order in the
+online sum-exp (allclose; pinned by tests/test_pallas_hpd_stream.py). Tie
+handling matches lax.top_k (lowest index wins): within a tile jnp.argmax
+takes the first maximum, and the cross-tile merge concatenates the running
+(earlier-tile, lower-index) candidates before the tile's, so jnp.argmax
+again prefers them. The one divergence: two DISTINCT logits that round to
+the SAME probability float tie under the oracle (index order) but compare
+by logit here — degenerate at fp32, absent in practice.
+
+VMEM at the default R=512, TT=2048, H=128: logits tile 4 MB + w tile 1 MB
++ h block 0.25 MB + scratch < 6 MB total, well under the ~16 MB budget.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_ROWS = 512
+LANE_TILE = 2048
+# widest top-k the running-merge handles before the upstream jax fallback
+MAX_K = 16
+
+
+def supports(t: int, k: int) -> bool:
+    """Shape gate: T must tile into full LANE_TILE-wide MXU passes and the
+    2K-wide running merge must stay cheap (grid axis topk_k reaches 128 —
+    those configs route to the jax backend upstream)."""
+    return t % LANE_TILE == 0 and t >= LANE_TILE and 1 <= k <= MAX_K
+
+
+def _pad_rows_2d(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    pad = (-x.shape[0]) % block
+    return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+
+def _select_kernel(
+    h_ref, w_ref, b_ref,
+    vals_ref, idx_ref, m_ref, s_ref,
+    rv_scr, ri_scr, m_scr, s_scr,
+    *, k: int, precision: str,
+):
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+    r, tt = h_ref.shape[0], w_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        s_scr[:] = jnp.zeros_like(s_scr)
+        rv_scr[:] = jnp.full_like(rv_scr, -jnp.inf)
+        ri_scr[:] = jnp.zeros_like(ri_scr)
+
+    logits = (
+        jnp.dot(
+            h_ref[:], w_ref[:],
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        + b_ref[:]
+    )                                                          # (R, TT)
+
+    # online softmax statistics (rescale the running sum when the max moves)
+    tile_max = jnp.max(logits, axis=-1, keepdims=True)         # (R, 1)
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, tile_max)
+    s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.exp(logits - m_new), axis=-1, keepdims=True
+    )
+    m_scr[:] = m_new
+
+    # tile-local exact top-k on logits: K argmax/mask passes (first-index ties)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, tt), 1)
+    work = logits
+    tvals, tidx = [], []
+    for _ in range(k):
+        am = jnp.argmax(work, axis=-1)                         # (R,)
+        tvals.append(jnp.max(work, axis=-1))
+        tidx.append(am.astype(jnp.int32) + j * tt)
+        work = jnp.where(col == am[:, None], -jnp.inf, work)
+
+    # merge tile candidates into the running top-k; running entries first so
+    # argmax's first-maximum rule keeps lax.top_k's lowest-index tie order
+    comb_v = jnp.concatenate([rv_scr[:]] + [v[:, None] for v in tvals], -1)
+    comb_i = jnp.concatenate([ri_scr[:]] + [i[:, None] for i in tidx], -1)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (r, 2 * k), 1)
+    for kk in range(k):
+        am = jnp.argmax(comb_v, axis=-1)
+        hit = col2 == am[:, None]
+        rv_scr[:, kk] = jnp.max(comb_v, axis=-1)
+        ri_scr[:, kk] = jnp.sum(jnp.where(hit, comb_i, 0), axis=-1)
+        comb_v = jnp.where(hit, -jnp.inf, comb_v)
+
+    @pl.when(j == nt - 1)
+    def _():
+        # normalize only the K selected logits into probabilities
+        vals_ref[:] = jnp.exp(rv_scr[:] - m_scr[:]) / s_scr[:]
+        idx_ref[:] = ri_scr[:]
+        m_ref[:] = m_scr[:]
+        s_ref[:] = s_scr[:]
+
+
+def hpd_stream_select(
+    h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, k: int,
+    precision: str = "highest", interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """h: (U, H), w: (H, T), b: (T,) ->
+    (vals (U, K), idx (U, K), m (U, 1), s (U, 1))."""
+    u, hd = h.shape
+    t = w.shape[1]
+    h_pad = _pad_rows_2d(h, BLOCK_ROWS)
+    u_pad = h_pad.shape[0]
+    c, nt = u_pad // BLOCK_ROWS, t // LANE_TILE
+
+    vals, idx, m, s = pl.pallas_call(
+        functools.partial(_select_kernel, k=k, precision=precision),
+        grid=(c, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (BLOCK_ROWS, hd), lambda ci, j: (ci, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (hd, LANE_TILE), lambda ci, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, LANE_TILE), lambda ci, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (BLOCK_ROWS, k), lambda ci, j: (ci, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BLOCK_ROWS, k), lambda ci, j: (ci, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BLOCK_ROWS, 1), lambda ci, j: (ci, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BLOCK_ROWS, 1), lambda ci, j: (ci, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((u_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((u_pad, k), jnp.int32),
+            jax.ShapeDtypeStruct((u_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((u_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_ROWS, k), jnp.float32),
+            pltpu.VMEM((BLOCK_ROWS, k), jnp.int32),
+            pltpu.VMEM((BLOCK_ROWS, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_ROWS, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h_pad, w, b.reshape(1, t))
+    return vals[:u], idx[:u], m[:u], s[:u]
+
+
+def _marginal_kernel(
+    h_ref, w_ref, b_ref, cnt_ref, m_ref, s_ref, marg_ref,
+    *, lane_tile: int, precision: str
+):
+    ci = pl.program_id(0)
+    j = pl.program_id(1)
+    logits = (
+        jnp.dot(
+            h_ref[:], w_ref[:],
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        + b_ref[:]
+    )
+    p = jnp.exp(logits - m_ref[:]) / s_ref[:]                  # (R, TT)
+    contrib = jnp.dot(
+        cnt_ref[:], p, preferred_element_type=jnp.float32, precision=precision
+    )                                                          # (L, TT)
+
+    @pl.when(ci == 0)
+    def _():
+        marg_ref[:, pl.ds(j * lane_tile, lane_tile)] = contrib
+
+    @pl.when(ci != 0)
+    def _():
+        marg_ref[:, pl.ds(j * lane_tile, lane_tile)] = (
+            marg_ref[:, pl.ds(j * lane_tile, lane_tile)] + contrib
+        )
+
+
+def hpd_stream_marginal(
+    h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, counts: jnp.ndarray,
+    m: jnp.ndarray, s: jnp.ndarray, precision: str = "highest",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Count-weighted UNNORMALIZED marginal: (L, T) = counts (L, U) @ p.
+
+    Padded rows (to the row-block multiple) carry zero counts, so they
+    contribute nothing; L is padded to the sublane multiple and sliced."""
+    u, hd = h.shape
+    t = w.shape[1]
+    l = counts.shape[0]
+    h_pad = _pad_rows_2d(h, BLOCK_ROWS)
+    m_pad = _pad_rows_2d(m, BLOCK_ROWS)
+    # padded rows get s=1 so p stays finite (their counts are zero — a zero
+    # count times an inf/nan p would poison the MXU contraction)
+    s_pad = jnp.where(_pad_rows_2d(s, BLOCK_ROWS) > 0, _pad_rows_2d(s, BLOCK_ROWS), 1.0)
+    u_pad = h_pad.shape[0]
+    l_pad = l + ((-l) % 8)
+    counts_pad = jnp.pad(
+        counts.astype(jnp.float32),
+        ((0, l_pad - l), (0, u_pad - u)),
+    )
+    c, nt = u_pad // BLOCK_ROWS, t // LANE_TILE
+
+    marg = pl.pallas_call(
+        functools.partial(_marginal_kernel, lane_tile=LANE_TILE, precision=precision),
+        grid=(c, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (BLOCK_ROWS, hd), lambda ci, j: (ci, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (hd, LANE_TILE), lambda ci, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, LANE_TILE), lambda ci, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (l_pad, BLOCK_ROWS), lambda ci, j: (0, ci),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BLOCK_ROWS, 1), lambda ci, j: (ci, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BLOCK_ROWS, 1), lambda ci, j: (ci, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (l_pad, t), lambda ci, j: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((l_pad, t), jnp.float32),
+        interpret=interpret,
+    )(h_pad, w, b.reshape(1, t), counts_pad, m_pad, s_pad)
+    return marg[:l]
+
+
+def hpd_tail_unique_pallas_fwd(
+    h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, counts: jnp.ndarray,
+    k: int, precision: str = "highest", need_marginal: bool = True,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Forward of ops/fused_hpd.py:hpd_tail_unique on the TPU kernels:
+    (marginal_raw (L, T), vals (U, K), idx (U, K)). The backward reuses the
+    jax streaming VJP (identical residual contract: h, w, b, counts, idx)."""
+    vals, idx, m, s = hpd_stream_select(
+        h, w, b, k, precision=precision, interpret=interpret
+    )
+    if need_marginal:
+        marg = hpd_stream_marginal(
+            h, w, b, counts, m, s, precision=precision, interpret=interpret
+        )
+    else:
+        marg = jnp.zeros((counts.shape[0], w.shape[1]), jnp.float32)
+    return marg, vals, idx

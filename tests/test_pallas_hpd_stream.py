@@ -1,0 +1,89 @@
+"""Streaming scaled-table HPD-tail kernels (ops/pallas/hpd_stream.py) vs the
+jax lax.scan oracle, under the Pallas interpreter (CPU). The real-TPU
+execution of the same kernels is exercised by bench.py --mode scaled."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from collision_handling_in_instantngp_tpu.ops.fused_hpd import hpd_tail_unique
+from collision_handling_in_instantngp_tpu.ops.pallas import hpd_stream
+
+U, H, L, K = 700, 32, 3, 4  # U not a multiple of the 512-row block
+T = hpd_stream.LANE_TILE * 2  # two lane tiles exercises the running merge
+
+
+def _setup(rng, u=U, t=T):
+    h = jnp.asarray(rng.standard_normal((u, H)).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.standard_normal((H, t)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal(t).astype(np.float32) * 0.1)
+    counts = jnp.asarray(
+        rng.integers(0, 5, size=(L, u)).astype(np.float32)
+    )
+    return h, w, b, counts
+
+
+def test_supports_gate():
+    assert hpd_stream.supports(2**14, 4)
+    assert hpd_stream.supports(hpd_stream.LANE_TILE, 1)
+    assert not hpd_stream.supports(2**14, 128)   # wide-K grid configs
+    assert not hpd_stream.supports(256, 4)       # flagship table width
+    assert not hpd_stream.supports(3000, 4)      # non-tile-multiple
+
+
+def test_stream_forward_matches_jax(rng):
+    h, w, b, counts = _setup(rng)
+    marg_j, vals_j, idx_j = hpd_tail_unique(
+        h, w, b, counts, K, "highest", False, None, "jax"
+    )
+    marg_p, vals_p, idx_p = hpd_tail_unique(
+        h, w, b, counts, K, "highest", False, None, "pallas_interpret"
+    )
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_j))
+    np.testing.assert_allclose(
+        np.asarray(vals_p), np.asarray(vals_j), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(marg_p), np.asarray(marg_j), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_stream_vjp_matches_jax(rng):
+    """The backward is the shared jax streaming VJP either way — this pins
+    that the kernel-forward residuals (indices) feed it identically."""
+    h, w, b, counts = _setup(rng)
+    gm = jnp.asarray(rng.standard_normal((L, T)).astype(np.float32))
+    gv = jnp.asarray(rng.standard_normal((U, K)).astype(np.float32))
+
+    def scalar(backend):
+        def f(h, w, b):
+            marg, vals, _ = hpd_tail_unique(
+                h, w, b, counts, K, "highest", False, None, backend
+            )
+            return jnp.sum(marg * gm) + jnp.sum(vals * gv)
+        return f
+
+    g_j = jax.grad(scalar("jax"), argnums=(0, 1, 2))(h, w, b)
+    g_p = jax.grad(scalar("pallas_interpret"), argnums=(0, 1, 2))(h, w, b)
+    for a, b_, name in zip(g_p, g_j, ("dh", "dw", "db")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=3e-5, err_msg=name
+        )
+
+
+def test_stream_k1_single_tile(rng):
+    """K=1 and exactly one lane tile (no merge step)."""
+    h, w, b, counts = _setup(rng, u=520, t=hpd_stream.LANE_TILE)
+    marg_j, vals_j, idx_j = hpd_tail_unique(
+        h, w, b, counts, 1, "highest", False, None, "jax"
+    )
+    marg_p, vals_p, idx_p = hpd_tail_unique(
+        h, w, b, counts, 1, "highest", False, None, "pallas_interpret"
+    )
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_j))
+    np.testing.assert_allclose(
+        np.asarray(vals_p), np.asarray(vals_j), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(marg_p), np.asarray(marg_j), rtol=1e-5, atol=1e-6
+    )
