@@ -342,6 +342,19 @@ def _unique_fwd_impl(h, w, b, counts, k, precision, approx_recall=None,
 
 def _unique_fwd(h, w, b, counts, k, precision, noop_topk=False,
                 approx_recall=None, backend="jax"):
+    if backend.startswith("pallas"):
+        # keep the select kernel's (m, s) row statistics as residuals so the
+        # backward kernels skip the online max/sum-exp sweep entirely
+        from .pallas.hpd_stream import hpd_stream_marginal, hpd_stream_select
+
+        interp = backend == "pallas_interpret"
+        vals, idx, m, s = hpd_stream_select(
+            h, w, b, k, precision, interpret=interp
+        )
+        marg = hpd_stream_marginal(
+            h, w, b, counts, m, s, precision, interpret=interp
+        )
+        return (marg, vals, idx), (h, w, b, counts, idx, vals, m, s)
     out, _ = _unique_fwd_impl(
         h, w, b, counts, k, precision, approx_recall, backend
     )
@@ -351,6 +364,17 @@ def _unique_fwd(h, w, b, counts, k, precision, noop_topk=False,
 
 def _unique_bwd(k, precision, noop_topk, approx_recall, backend, residuals,
                 cotangents):
+    if backend.startswith("pallas"):
+        from .pallas.hpd_stream import hpd_tail_unique_pallas_bwd
+
+        h, w, b, counts, idx, vals, m, s = residuals
+        g_marg, g_vals, _g_idx = cotangents
+        dh, dw, db = hpd_tail_unique_pallas_bwd(
+            h, w, b, counts, idx, vals, m, s, g_marg, g_vals, k,
+            precision, noop_topk,
+            interpret=(backend == "pallas_interpret"),
+        )
+        return dh, dw, db, jnp.zeros_like(counts)
     h, w, b, counts, idx = residuals
     g_marg, g_vals, _g_idx = cotangents
     u, hd = h.shape

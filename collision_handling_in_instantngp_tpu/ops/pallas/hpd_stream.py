@@ -309,3 +309,225 @@ def hpd_tail_unique_pallas_fwd(
     else:
         marg = jnp.zeros((counts.shape[0], w.shape[1]), jnp.float32)
     return marg, vals, idx
+
+
+# --------------------------------------------------------------------------- #
+# Backward kernels                                                            #
+# --------------------------------------------------------------------------- #
+#
+# Backward math (ops/fused_hpd.py:_unique_bwd, reference models.py:5-42 +
+# utils.py:122-174 composition), per row r with p = exp(logits - m)/s:
+#
+#   g_p[r, :] = sum_l counts[l, r] * g_marg[l, :]  (+ top-k scatter of g_vals)
+#   dot[r]    = <g_p[r], p[r]>
+#             = sum_l counts[l, r] * G[r, l]  +  sum_k g_vals[r, k] * vals[r, k]
+#     with G[r, l] = <g_marg[l], p[r]>   (and the second term dropped under
+#     the reference's noop-scatter quirk, which also drops the scatter)
+#   dlogits   = p * (g_p - dot)
+#   dh = dlogits @ w^T ;  dw = h^T @ dlogits ;  db = sum_r dlogits
+#
+# The dot[r] needs the whole row before dlogits exists, so the backward is
+# two sweeps: B1 accumulates G per row block (p @ g_marg^T tiles on the MXU),
+# the (U,) dot closes in plain jnp from G/counts/vals, then B2 recomputes
+# each p tile and emits dh (per-block scratch), dw/db (VMEM-resident
+# (H, T)/(1, T) blocks with constant index maps — sequential deterministic
+# accumulation). m/s come from the forward select kernel, so no extra
+# max/sum-exp sweep is needed.
+
+BWD_BLOCK_ROWS = 256
+
+
+def _p_tile(h_ref, w_ref, b_ref, m_ref, s_ref, precision):
+    logits = (
+        jnp.dot(
+            h_ref[:], w_ref[:],
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        + b_ref[:]
+    )
+    return jnp.exp(logits - m_ref[:]) / s_ref[:]
+
+
+def _bwd_g_kernel(h_ref, w_ref, b_ref, m_ref, s_ref, gmT_ref, g_out_ref,
+                  g_scr, *, precision):
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        g_scr[:] = jnp.zeros_like(g_scr)
+
+    p = _p_tile(h_ref, w_ref, b_ref, m_ref, s_ref, precision)
+    g_scr[:] = g_scr[:] + jnp.dot(
+        p, gmT_ref[:], preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                                          # (R, L_pad)
+
+    @pl.when(j == nt - 1)
+    def _():
+        g_out_ref[:] = g_scr[:]
+
+
+def _bwd_main_kernel(
+    h_ref, w_ref, b_ref, m_ref, s_ref, cntT_ref, gm_ref, idx_ref, gv_ref,
+    dot_ref, dh_ref, dw_ref, db_ref, dh_scr,
+    *, k: int, lane_tile: int, noop_topk: bool, precision: str,
+):
+    ci = pl.program_id(0)
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+    r = h_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+
+    p = _p_tile(h_ref, w_ref, b_ref, m_ref, s_ref, precision)  # (R, TT)
+    g_p = jnp.dot(
+        cntT_ref[:], gm_ref[:, pl.ds(j * lane_tile, lane_tile)],
+        preferred_element_type=jnp.float32, precision=precision,
+    )                                                          # (R, TT)
+    if not noop_topk:
+        col = j * lane_tile + jax.lax.broadcasted_iota(
+            jnp.int32, (r, lane_tile), 1
+        )
+        for ki in range(k):
+            g_p = g_p + jnp.where(
+                col == idx_ref[:, ki][:, None], gv_ref[:, ki][:, None], 0.0
+            )
+    dl = p * (g_p - dot_ref[:])                                # (R, TT)
+
+    dh_scr[:] = dh_scr[:] + jnp.dot(
+        dl, w_ref[:].T, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    dw_contrib = jnp.dot(
+        h_ref[:].T, dl, preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                                          # (H, TT)
+    db_contrib = jnp.sum(dl, axis=0, keepdims=True)            # (1, TT)
+
+    tile = pl.ds(j * lane_tile, lane_tile)
+
+    @pl.when(ci == 0)
+    def _():
+        dw_ref[:, tile] = dw_contrib
+        db_ref[:, tile] = db_contrib
+
+    @pl.when(ci != 0)
+    def _():
+        dw_ref[:, tile] = dw_ref[:, tile] + dw_contrib
+        db_ref[:, tile] = db_ref[:, tile] + db_contrib
+
+    @pl.when(j == nt - 1)
+    def _():
+        dh_ref[:] = dh_scr[:]
+
+
+def hpd_tail_unique_pallas_bwd(
+    h, w, b, counts, idx, vals, m, s, g_marg, g_vals, k,
+    precision: str = "highest", noop_topk: bool = False,
+    interpret: bool = False,
+):
+    """Returns (dh (U, H), dw (H, T), db (T,)) — see module docstring."""
+    u, hd = h.shape
+    t = w.shape[1]
+    l = counts.shape[0]
+    block = BWD_BLOCK_ROWS
+    h_pad = _pad_rows_2d(h, block)
+    m_pad = _pad_rows_2d(m, block)
+    s_raw = _pad_rows_2d(s, block)
+    s_pad = jnp.where(s_raw > 0, s_raw, 1.0)   # padded rows: finite p
+    idx_pad = _pad_rows_2d(idx, block)
+    gv_pad = _pad_rows_2d(g_vals, block)
+    u_pad = h_pad.shape[0]
+    l_pad = l + ((-l) % 8)
+    countsT_pad = jnp.pad(
+        counts.astype(jnp.float32).T, ((0, u_pad - u), (0, l_pad - l))
+    )                                                          # (U_pad, L_pad)
+    gm = jnp.pad(g_marg.astype(jnp.float32), ((0, l_pad - l), (0, 0)))
+    c, nt = u_pad // block, t // LANE_TILE
+
+    row_spec = lambda width: pl.BlockSpec(
+        (block, width), lambda ci, j: (ci, 0), memory_space=pltpu.VMEM
+    )
+    # B1: per-row G = p @ g_marg^T, accumulated across T tiles in scratch
+    g_rows = pl.pallas_call(
+        functools.partial(_bwd_g_kernel, precision=precision),
+        grid=(c, nt),
+        in_specs=[
+            row_spec(hd),
+            pl.BlockSpec(
+                (hd, LANE_TILE), lambda ci, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, LANE_TILE), lambda ci, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            row_spec(1),
+            row_spec(1),
+            pl.BlockSpec(
+                (LANE_TILE, l_pad), lambda ci, j: (j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=row_spec(l_pad),
+        out_shape=jax.ShapeDtypeStruct((u_pad, l_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block, l_pad), jnp.float32)],
+        interpret=interpret,
+    )(h_pad, w, b.reshape(1, t), m_pad, s_pad, gm.T)
+
+    # dot[r] closes in plain jnp (everything here is (U,)-thin)
+    dot = jnp.sum(countsT_pad[:u, :l] * g_rows[:u, :l], axis=-1)
+    if not noop_topk:
+        dot = dot + jnp.sum(g_vals * vals, axis=-1)
+    dot_pad = _pad_rows_2d(dot[:, None], block)                # (U_pad, 1)
+
+    dh, dw, db = pl.pallas_call(
+        functools.partial(
+            _bwd_main_kernel, k=k, lane_tile=LANE_TILE,
+            noop_topk=noop_topk, precision=precision,
+        ),
+        grid=(c, nt),
+        in_specs=[
+            row_spec(hd),
+            pl.BlockSpec(
+                (hd, LANE_TILE), lambda ci, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, LANE_TILE), lambda ci, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            row_spec(1),
+            row_spec(1),
+            row_spec(l_pad),
+            pl.BlockSpec(
+                (l_pad, t), lambda ci, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            row_spec(k),
+            row_spec(k),
+            row_spec(1),
+        ],
+        out_specs=[
+            row_spec(hd),
+            pl.BlockSpec(
+                (hd, t), lambda ci, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, t), lambda ci, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((u_pad, hd), jnp.float32),
+            jax.ShapeDtypeStruct((hd, t), jnp.float32),
+            jax.ShapeDtypeStruct((1, t), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((block, hd), jnp.float32)],
+        interpret=interpret,
+    )(
+        h_pad, w, b.reshape(1, t), m_pad, s_pad, countsT_pad, gm,
+        idx_pad, gv_pad, dot_pad,
+    )
+    return dh[:u], dw, db.reshape(t)

@@ -87,3 +87,26 @@ def test_stream_k1_single_tile(rng):
     np.testing.assert_allclose(
         np.asarray(marg_p), np.asarray(marg_j), rtol=1e-5, atol=1e-6
     )
+
+
+def test_stream_noop_topk_vjp(rng):
+    """Reference should_inplace_scatter=None quirk: the straight-through
+    top-k backward drops; the marginal gradient still flows."""
+    h, w, b, counts = _setup(rng)
+    gm = jnp.asarray(rng.standard_normal((L, T)).astype(np.float32))
+    gv = jnp.asarray(rng.standard_normal((U, K)).astype(np.float32))
+
+    def scalar(backend):
+        def f(h, w, b):
+            marg, vals, _ = hpd_tail_unique(
+                h, w, b, counts, K, "highest", True, None, backend
+            )
+            return jnp.sum(marg * gm) + jnp.sum(vals * gv)
+        return f
+
+    g_j = jax.grad(scalar("jax"), argnums=(0, 1, 2))(h, w, b)
+    g_p = jax.grad(scalar("pallas_interpret"), argnums=(0, 1, 2))(h, w, b)
+    for a, b_, name in zip(g_p, g_j, ("dh", "dw", "db")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=3e-5, err_msg=name
+        )

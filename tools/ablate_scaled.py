@@ -1,0 +1,149 @@
+"""Forward/backward time split for one training batch on the current device.
+
+Times three jitted programs over a single batch of the chosen config:
+  fwd      loss value only
+  grad     jax.value_and_grad of the loss
+  step     grad + optimizer update (one scan-body equivalent)
+
+Used to target kernel work: e.g. the scaled config's (T=2^14, L=16) tail —
+how much of the 40K px/s batch lives in the forward select/marginal kernels
+vs the jax streaming backward.
+
+Usage: python tools/ablate_scaled.py [--mode scaled|gngf] [--batch-fraction F]
+"""
+
+import argparse
+import dataclasses
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timeit(fn, *args, reps=5):
+    import jax
+
+    out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda x: None, jax.device_get(jax.tree_util.tree_leaves(out)[0])
+    )
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    # axon tunnel: force a device->host transfer to drain
+    float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="scaled", choices=["scaled", "gngf"])
+    ap.add_argument("--batch-fraction", type=float, default=None)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from collision_handling_in_instantngp_tpu.config import (
+        experiment_from_grid_id,
+        instantngp_scaled_model,
+    )
+    from collision_handling_in_instantngp_tpu.data import (
+        load_image_dataset,
+        make_shuffle_permutations,
+    )
+    from collision_handling_in_instantngp_tpu.models import gngf
+    from collision_handling_in_instantngp_tpu.ops import dedup as dedup_ops
+    from collision_handling_in_instantngp_tpu.train.loss import compute_loss
+    from collision_handling_in_instantngp_tpu.train.optimizer import (
+        make_optimizer,
+    )
+    from collision_handling_in_instantngp_tpu.train.train_step import (
+        build_epoch_batches,
+    )
+
+    exp = experiment_from_grid_id(4061)
+    if args.mode == "scaled":
+        exp = dataclasses.replace(
+            exp,
+            model=instantngp_scaled_model(),
+            train=dataclasses.replace(exp.train, batch_fraction=1 / 8),
+        )
+    if args.batch_fraction:
+        exp = dataclasses.replace(
+            exp,
+            train=dataclasses.replace(
+                exp.train, batch_fraction=args.batch_fraction
+            ),
+        )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data = load_image_dataset(os.path.join(repo, "images", "strawberry.jpeg"))
+    statics = gngf.make_statics(exp.model)
+    shuffled, _ = make_shuffle_permutations(
+        data.num_pixels, exp.train.seed, True
+    )
+    batches = build_epoch_batches(
+        data.coords, data.targets, exp.train.batch_fraction, shuffled,
+        og_image=data.image, model_cfg=exp.model, statics=statics,
+    )
+    mcfg, lcfg = exp.model, exp.loss
+
+    key = jax.random.PRNGKey(exp.train.seed)
+    params = gngf.init_params(key, mcfg)
+    tx = make_optimizer(exp.optimizer, params)
+    opt_state = tx.init(params)
+    prev_coll = jnp.zeros((mcfg.num_levels,), jnp.float32)
+    prev_min = jnp.ones((mcfg.num_levels,), jnp.float32)
+
+    bx = batches.x[0]
+    by = batches.y[0]
+    nvalid = batches.valid[0]
+    dedup = None
+    if batches.dedup_ids is not None:
+        dedup = dedup_ops.DedupGeometry(
+            batches.dedup_ids[0], batches.dedup_counts[0],
+            batches.dedup_rev[0] if batches.dedup_rev is not None else None,
+        )
+
+    def loss_fn(params, bx, by):
+        out = gngf.forward(
+            params, bx, mcfg, statics, train=True, dedup=dedup,
+            need_indices=False,
+        )
+        aux = compute_loss(
+            out.rgb, by, out.probs, prev_coll, prev_min, lcfg,
+            mcfg.num_levels, marginals=out.marginal, valid_rows=nvalid,
+        )
+        return aux.total
+
+    fwd = jax.jit(loss_fn)
+    grad = jax.jit(jax.value_and_grad(loss_fn))
+
+    @jax.jit
+    def step(params, opt_state, bx, by):
+        loss, grads = jax.value_and_grad(loss_fn)(params, bx, by)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    p = bx.shape[0]
+    t_fwd = _timeit(fwd, params, bx, by, reps=args.reps)
+    t_grad = _timeit(grad, params, bx, by, reps=args.reps)
+    t_step = _timeit(step, params, opt_state, bx, by, reps=args.reps)
+    print(
+        f"mode={args.mode} batch_rows={p} device={jax.devices()[0].platform}"
+    )
+    print(f"fwd   {t_fwd * 1e3:9.2f} ms/batch")
+    print(
+        f"grad  {t_grad * 1e3:9.2f} ms/batch  (bwd ~ {(t_grad - t_fwd) * 1e3:.2f})"
+    )
+    print(
+        f"step  {t_step * 1e3:9.2f} ms/batch  (opt ~ {(t_step - t_grad) * 1e3:.2f})"
+    )
+
+
+if __name__ == "__main__":
+    main()
