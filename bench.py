@@ -80,12 +80,15 @@ def main() -> None:
             exp, model=dataclasses.replace(exp.model, use_hash_function=True)
         )
     elif args.mode == "scaled":
-        # bigger tables trade batch size for HBM on one chip (slot-axis TP
-        # across a mesh is the multi-chip answer, parallel/mesh.py)
+        # 1/3-image batches = the reference's own batch size (params.py:43).
+        # Round 1 ran 1/8 as an HBM concession; the streaming Pallas tail +
+        # S-matrix blend (round 2) removed the padded-layout temps that
+        # forced it (slot-axis TP across a mesh is the multi-chip answer,
+        # parallel/mesh.py). Override with --batch-fraction to compare.
         exp = dataclasses.replace(
             exp,
             model=instantngp_scaled_model(),
-            train=dataclasses.replace(exp.train, batch_fraction=1 / 8),
+            train=dataclasses.replace(exp.train, batch_fraction=1 / 3),
         )
     if args.batch_fraction:
         exp = dataclasses.replace(

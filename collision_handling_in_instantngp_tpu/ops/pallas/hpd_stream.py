@@ -525,6 +525,12 @@ def hpd_tail_unique_pallas_bwd(
             jax.ShapeDtypeStruct((1, t), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((block, hd), jnp.float32)],
+        # the VMEM-resident (H, T) dw block plus double-buffered tiles sit
+        # just past Mosaic's conservative 16M default scoped budget (measured
+        # 21.2M); v5e VMEM accommodates it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         h_pad, w, b.reshape(1, t), m_pad, s_pad, countsT_pad, gm,
