@@ -445,16 +445,100 @@ def _gather_rows_cells_bwd(n_ls, side, res, g):
 _gather_rows_cells.defvjp(_gather_rows_cells_fwd, _gather_rows_cells_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _gather_rows_cells_compact(per_level_table, ids_local, active, base,
+                               n_ls, side):
+    """Compact-table variant of _gather_rows_cells (active-vertex compaction,
+    ops/dedup.py): the table holds only the batch's touched vertices, ids are
+    indices into it, and the cell structure the backward needs comes from the
+    per-row GLOBAL base ids + the active->global map."""
+    return _flat_gather_impl(per_level_table, ids_local)
+
+
+def _gather_rows_cells_compact_fwd(per_level_table, ids_local, active, base,
+                                   n_ls, side):
+    return (
+        _flat_gather_impl(per_level_table, ids_local),
+        (per_level_table.shape, active, base),
+    )
+
+
+def _gather_rows_cells_compact_bwd(n_ls, side, res, g):
+    """Same cell-structured one-hot segment-sum as _gather_rows_cells_bwd —
+    the per-level (s_l, s_l) vertex grid is built identically — but the final
+    map lands on the COMPACT rows: each active global id (i, j) reads its
+    level-local vertex cell, and -1 padding rows are masked to zero so the
+    duplicate-of-row-0 padding never double-counts gradient."""
+    (l, u_c, f), active, base = res
+    p = g.shape[0]
+    v = g.shape[2]
+    ids_cl = jnp.clip(active, 0)
+    gi_c, gj_c = jnp.divmod(ids_cl, side)                    # (U_c,)
+    real = active >= 0
+    dt_levels = []
+    for li in range(l):
+        n_l = int(n_ls[li])
+        c_l = n_l + 1
+        s_l = n_l + 2
+        ci, cj = jnp.divmod(base[:, li], side)
+        cell = ci * c_l + cj                                 # (P,)
+        gl = g[:, li].reshape(p, v * f)
+
+        chunk = max(256, min(p, _CELL_CHUNK_BUDGET // max(c_l * c_l, 1)))
+        pad = (-p) % chunk
+        cell_pad = jnp.pad(cell, (0, pad), constant_values=-1)
+        gl_pad = jnp.pad(gl, ((0, pad), (0, 0)))
+        c = cell_pad.shape[0] // chunk
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, c_l * c_l), 1)
+
+        def body(acc, xs):
+            cell_chunk, g_chunk = xs
+            onehot = (cell_chunk[:, None] == cols).astype(g_chunk.dtype)
+            return acc + jnp.einsum(
+                "rc,rk->ck", onehot, g_chunk, precision="highest"
+            ), None
+
+        s, _ = jax.lax.scan(
+            body,
+            jnp.zeros((c_l * c_l, v * f), g.dtype),
+            (cell_pad.reshape(c, chunk), gl_pad.reshape(c, chunk, v * f)),
+        )
+        s = s.reshape(c_l, c_l, v, f)
+        acc = jnp.zeros((s_l, s_l, f), g.dtype)
+        for vi in range(v):
+            oi, oj = vi & 1, vi >> 1
+            acc = acc + jnp.pad(
+                s[:, :, vi], ((oi, 1 - oi), (oj, 1 - oj), (0, 0))
+            )
+        valid = real & (gi_c < s_l) & (gj_c < s_l)
+        flat = acc.reshape(s_l * s_l, f)
+        local = jnp.where(valid, gi_c * s_l + gj_c, 0)
+        dt_levels.append(
+            jnp.where(valid[:, None], jnp.take(flat, local, axis=0), 0.0)
+        )
+    return jnp.stack(dt_levels), None, None, None
+
+
+_gather_rows_cells_compact.defvjp(
+    _gather_rows_cells_compact_fwd, _gather_rows_cells_compact_bwd
+)
+
+
 def gather_rows(
     per_level_table: jnp.ndarray,
     ids: jnp.ndarray,
     rev=None,
     local_maps=None,
     cell_info=None,
+    active=None,
+    base=None,
 ) -> jnp.ndarray:
     """Per-pixel gather from a (L, U, F) per-vertex feature table.
 
-    ids: (P, L, V) unique-vertex ids -> (P, L, V, F) features.
+    ids: (P, L, V) unique-vertex ids -> (P, L, V, F) features. Under
+    active-vertex compaction (ops/dedup.py) the table holds only the batch's
+    touched vertices, ids index into it, and ``active``/``base`` supply the
+    global-grid structure the cell backward needs.
 
     The transpose of this gather is the segment-sum of per-row cotangents by
     vertex — the step that makes vertex dedup gradient-exact. Backwards, by
@@ -472,6 +556,10 @@ def gather_rows(
     """
     if cell_info is not None and ids.ndim == 3 and ids.shape[-1] == 4:
         n_ls, side = cell_info
+        if active is not None:
+            return _gather_rows_cells_compact(
+                per_level_table, ids, active, base, tuple(n_ls), int(side)
+            )
         return _gather_rows_cells(per_level_table, ids, tuple(n_ls), int(side))
     if rev is None:
         return _flat_gather(per_level_table, ids)

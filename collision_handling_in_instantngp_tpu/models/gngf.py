@@ -207,8 +207,16 @@ def forward(
         # (n_max+2)^d shared integer grid — count-weighted-gradient-identical
         # to the reference's per-row evaluation (models.py:416-423) at a
         # fraction of the work; pixels gather their vertices' blended features
-        ucoords = jnp.asarray(statics.unique_coords)
         side = dedup_ops.grid_side(cfg.n_max)
+        active = dedup.active if dedup is not None else None
+        if active is not None:
+            # active-vertex compaction (ops/dedup.py): evaluate only the
+            # vertices this batch touches (~61% of the shared grid at the
+            # scaled config) — exact: untouched vertices have zero counts and
+            # no pixel gathers their features
+            ucoords = dedup_ops.active_coords(active, side)
+        else:
+            ucoords = jnp.asarray(statics.unique_coords)
         u = ucoords.shape[0]
         if dedup is not None:
             ids, counts = dedup.ids, dedup.counts
@@ -225,7 +233,8 @@ def forward(
         if cfg.input_dim == 2 and cfg.num_corners == 4:
             cell_info = (tuple(int(n) for n in statics.n_ls), side)
         feats = enc.gather_rows(
-            feats_u, ids, cell_info=cell_info
+            feats_u, ids, cell_info=cell_info, active=active,
+            base=dedup.base if dedup is not None else None,
         )                                                          # (P,L,V,F)
         if need_indices:
             indices = jnp.take(idx_u, ids, axis=0)                 # (P,L,V,K)

@@ -34,9 +34,11 @@ class DedupGeometry(NamedTuple):
     """Static per-batch vertex deduplication tables.
 
     ids:    (..., L, V) int32 — global unique-grid id of every row's vertex
-            (id = row * side + col on the shared {0..side-1}^2 integer grid).
+            (id = row * side + col on the shared {0..side-1}^2 integer grid),
+            or, when ``active`` is set, the COMPACT index into ``active``.
     counts: (L, U) float32 — number of (pixel, corner) rows of each level that
-            map to each unique vertex. Feeds the loss marginal and the
+            map to each unique vertex (U = U_c under compaction; padded
+            entries carry zero counts). Feeds the loss marginal and the
             collision statistics.
     rev:    optional per-level tuple of (U_l, M_l) int32 REVERSE maps (-1 pad):
             for each LEVEL-LOCAL vertex id, the flat (p * V + v) row indices
@@ -45,11 +47,26 @@ class DedupGeometry(NamedTuple):
             sum instead of a ~GB-scale one-hot contraction (see
             encoding.gather_rows). Level-local ids keep the padding ~10%
             ((n_l+2)^2 slots instead of the shared (n_max+2)^2 grid).
+    active: optional (U_c,) int32 — ACTIVE-vertex compaction (scaled tables):
+            the sorted global ids of the vertices this batch actually touches,
+            padded with -1. A 1/3-image batch touches only ~61% of the shared
+            (n_max+2)^2 grid at the scaled config; untouched vertices carry
+            zero counts (no marginal contribution) and no pixel gathers their
+            features, so skipping them is EXACT while every U-proportional
+            stage (HPD hidden stack, select/marginal/backward kernel sweeps,
+            table blend) shrinks by the same factor.
+    base:   optional (..., L) int32 — GLOBAL id of each row's v=0 corner (the
+            cell base vertex). Only needed under compaction: the cell-
+            structured gather backward (encoding._gather_rows_cells_bwd)
+            derives the cell from the global grid layout, which compact ids
+            no longer encode.
     """
 
     ids: jnp.ndarray
     counts: jnp.ndarray
     rev: Optional[Tuple[jnp.ndarray, ...]] = None
+    active: Optional[jnp.ndarray] = None
+    base: Optional[jnp.ndarray] = None
 
 
 def grid_side(n_max: int) -> int:
@@ -145,6 +162,47 @@ def build_geometry_np(
     ids = vertex_ids_np(corners, side)                       # (P, L, V)
     counts = counts_np(ids, len(n_ls), side ** coords.shape[-1])
     return ids, counts
+
+
+def compact_geometry_np(
+    ids: np.ndarray, num_levels: int, u_c: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side ACTIVE-vertex compaction of one batch's dedup geometry.
+
+    Args:
+      ids: (P, L, V) int32 GLOBAL vertex ids (build_geometry_np).
+      u_c: static compact row count (>= this batch's touched count; callers
+        take the max over batches and round up so scan shapes stay static).
+
+    Returns:
+      active     (U_c,) int32 sorted touched global ids, -1 padded.
+      ids_local  (P, L, V) int32 indices into ``active``.
+      counts_c   (L, U_c) float32 per-level occurrence counts (0 on padding).
+      base       (P, L) int32 global id of the v=0 corner (the cell base).
+    """
+    touched = np.unique(ids)
+    if touched.size > u_c:
+        raise ValueError(
+            f"u_c={u_c} smaller than this batch's touched count {touched.size}"
+        )
+    active = np.full((u_c,), -1, dtype=np.int32)
+    active[: touched.size] = touched
+    ids_local = np.searchsorted(touched, ids).astype(np.int32)
+    flat = np.moveaxis(ids_local, -2, 0).reshape(num_levels, -1)
+    counts_c = np.stack(
+        [np.bincount(flat[l], minlength=u_c).astype(np.float32)
+         for l in range(num_levels)]
+    )
+    return active, ids_local, counts_c, ids[:, :, 0].astype(np.int32)
+
+
+def active_coords(active: jnp.ndarray, side: int) -> jnp.ndarray:
+    """(U_c,) global ids (-1 padded) -> (U_c, 2) float32 integer vertex
+    coords, the compact analog of :func:`unique_vertex_coords` (padded rows
+    map to (0, 0) — their counts are zero and nothing gathers them)."""
+    ids = jnp.clip(active, 0)
+    gi, gj = jnp.divmod(ids, side)
+    return jnp.stack([gi, gj], axis=-1).astype(jnp.float32)
 
 
 def local_sides(n_ls) -> Tuple[int, ...]:

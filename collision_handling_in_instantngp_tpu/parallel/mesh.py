@@ -96,5 +96,15 @@ def shard_state_and_batches(state, batches, mesh: Mesh, shard_tables: bool = Fal
             None if batches.dedup_counts is None
             else jax.device_put(batches.dedup_counts, rep)
         ),
+        # compaction fields: active is U_c-indexed (replicated, like counts);
+        # base is per-pixel-row (data-sharded like the batch rows)
+        dedup_active=(
+            None if batches.dedup_active is None
+            else jax.device_put(batches.dedup_active, rep)
+        ),
+        dedup_base=(
+            None if batches.dedup_base is None
+            else jax.device_put(batches.dedup_base, bsh)
+        ),
     )
     return state, sharded_batches

@@ -70,6 +70,14 @@ class EpochBatches(NamedTuple):
                               # per-level (nb, U_l, M_l) int32 reverse maps
                               # (-1 pad) for the gather_rows backward
                               # (ops/dedup.py build_reverse_maps_np)
+    dedup_active: Optional[jnp.ndarray] = None  # (nb, U_c) int32 touched
+                              # global vertex ids (-1 pad) — active-vertex
+                              # compaction (ops/dedup.py compact_geometry_np);
+                              # when set, dedup_ids hold COMPACT indices and
+                              # dedup_counts are (nb, L, U_c)
+    dedup_base: Optional[jnp.ndarray] = None    # (nb, B, L) int32 global v=0
+                              # corner ids (cell bases) for the compact
+                              # gather backward
 
 
 class TrainState(NamedTuple):
@@ -152,6 +160,7 @@ def build_epoch_batches(
     og_image: Optional[np.ndarray] = None,
     model_cfg=None,
     statics: Optional[gngf.GNGFStatics] = None,
+    compact_dedup: bool = True,
 ) -> EpochBatches:
     """Slice the (fixed) shuffled pixel stream into static minibatches.
 
@@ -180,6 +189,7 @@ def build_epoch_batches(
     valid[-1] = b - pad
 
     dedup_ids = dedup_counts = dedup_rev = None
+    dedup_active = dedup_base = None
     if (
         model_cfg is not None
         and statics is not None
@@ -196,8 +206,40 @@ def build_epoch_batches(
             )
             ids_list.append(ids_b)
             counts_list.append(counts_b)
-        dedup_ids = jnp.asarray(np.stack(ids_list))
-        dedup_counts = jnp.asarray(np.stack(counts_list))
+        u = statics.unique_coords.shape[0]
+        # active-vertex compaction: a sub-image batch touches only part of
+        # the shared vertex grid (~61% at the scaled config's 1/3 batches);
+        # compact every U-proportional stage to the touched rows when that
+        # actually shrinks them (flagship-scale grids are fully touched).
+        # U_c is padded to the streaming kernels' row-block multiple and
+        # shared across batches so the epoch scan stays statically shaped.
+        u_c = max(
+            int(np.unique(ids_b).size)
+            for ids_b in ids_list
+        )
+        u_c_pad = -(-u_c // 512) * 512
+        if (
+            compact_dedup
+            and u_c_pad < u
+            and model_cfg.input_dim == 2
+            and model_cfg.num_corners == 4
+        ):
+            act_l, idl_l, cnt_l, base_l = [], [], [], []
+            for ids_b in ids_list:
+                a, il, cc, bb = dedup_ops.compact_geometry_np(
+                    ids_b, model_cfg.num_levels, u_c_pad
+                )
+                act_l.append(a)
+                idl_l.append(il)
+                cnt_l.append(cc)
+                base_l.append(bb)
+            dedup_ids = jnp.asarray(np.stack(idl_l))
+            dedup_counts = jnp.asarray(np.stack(cnt_l))
+            dedup_active = jnp.asarray(np.stack(act_l))
+            dedup_base = jnp.asarray(np.stack(base_l))
+        else:
+            dedup_ids = jnp.asarray(np.stack(ids_list))
+            dedup_counts = jnp.asarray(np.stack(counts_list))
         # NOTE: the gather_rows backward needs no precomputed reverse map —
         # the cell-structured one-hot (encoding._gather_rows_cells_bwd)
         # derives everything from ids in-graph; dedup_rev stays None unless
@@ -213,6 +255,8 @@ def build_epoch_batches(
         dedup_ids=dedup_ids,
         dedup_counts=dedup_counts,
         dedup_rev=dedup_rev,
+        dedup_active=dedup_active,
+        dedup_base=dedup_base,
     )
 
 
@@ -289,9 +333,9 @@ def make_epoch_fn(
 
         def body(carry, batch):
             params, opt_state, bn_state = carry
-            bx, by, nvalid, dids, dcounts, drev = batch
+            bx, by, nvalid, dids, dcounts, drev, dactive, dbase = batch
             dedup = (
-                dedup_ops.DedupGeometry(dids, dcounts, drev)
+                dedup_ops.DedupGeometry(dids, dcounts, drev, dactive, dbase)
                 if dids is not None
                 else None
             )
@@ -331,7 +375,8 @@ def make_epoch_fn(
         (params, opt_state, bn_state), outs = jax.lax.scan(
             body, (state.params, state.opt_state, state.bn_state),
             (batches.x, batches.y, batches.valid,
-             batches.dedup_ids, batches.dedup_counts, batches.dedup_rev),
+             batches.dedup_ids, batches.dedup_counts, batches.dedup_rev,
+             batches.dedup_active, batches.dedup_base),
         )
         rgb_all, idx_all, presence_all, losses, mses, js_kls, coll_losses = outs
 

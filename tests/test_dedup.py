@@ -412,3 +412,146 @@ def test_gather_rows_cells_backward_matches_onehot(rng):
         np.asarray(vjp_c(cot)[0]), np.asarray(vjp_oh(cot)[0]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+# ----------------------- active-vertex compaction --------------------------- #
+
+def test_compact_geometry_np_consistency(rng):
+    """compact_geometry_np: active covers exactly the touched ids, local ids
+    round-trip through active, counts match the global counts at active rows
+    (zero on padding), base is the v=0 global id."""
+    cfg = _cfg()
+    statics = gngf.make_statics(cfg)
+    coords = np.asarray(_coords(rng, 100))
+    ids, counts = dedup_ops.build_geometry_np(
+        coords, statics.n_ls, statics.offsets, cfg.n_max
+    )
+    touched = np.unique(ids)
+    u_c = int(touched.size) + 37  # deliberately padded
+    active, ids_local, counts_c, base = dedup_ops.compact_geometry_np(
+        ids, cfg.num_levels, u_c
+    )
+    np.testing.assert_array_equal(active[: touched.size], touched)
+    assert (active[touched.size:] == -1).all()
+    np.testing.assert_array_equal(active[ids_local], ids)
+    np.testing.assert_array_equal(base, ids[:, :, 0])
+    for l in range(cfg.num_levels):
+        np.testing.assert_array_equal(
+            counts_c[l, : touched.size], counts[l][touched]
+        )
+        assert (counts_c[l, touched.size:] == 0).all()
+    # active_coords maps ids back to their integer (i, j) coords
+    side = dedup_ops.grid_side(cfg.n_max)
+    ac = np.asarray(dedup_ops.active_coords(jnp.asarray(active), side))
+    np.testing.assert_array_equal(
+        dedup_ops.vertex_ids_np(ac[: touched.size], side), touched
+    )
+
+
+def test_gather_rows_compact_matches_global(rng):
+    """Compact-table gather + cell backward == global gather + cell backward
+    restricted to the active rows; padded rows get exactly zero gradient."""
+    from collision_handling_in_instantngp_tpu.models import encoding as enc
+
+    cfg = _cfg()
+    statics = gngf.make_statics(cfg)
+    side = dedup_ops.grid_side(cfg.n_max)
+    u = side * side
+    p = 213
+    coords = np.asarray(_coords(rng, p))
+    ids_np, _ = dedup_ops.build_geometry_np(
+        coords, statics.n_ls, statics.offsets, cfg.n_max
+    )
+    touched = np.unique(ids_np)
+    u_c = int(touched.size) + 19
+    active, ids_local, _, base = dedup_ops.compact_geometry_np(
+        ids_np, cfg.num_levels, u_c
+    )
+    table_g = jnp.asarray(
+        rng.standard_normal((cfg.num_levels, u, cfg.feature_dim)).astype(
+            np.float32
+        )
+    )
+    # compact table = the global rows at active (padding rows arbitrary)
+    table_c = jnp.asarray(
+        np.asarray(table_g)[:, np.maximum(active, 0)]
+    )
+    cot = jnp.asarray(
+        rng.standard_normal(
+            (p, cfg.num_levels, 4, cfg.feature_dim)
+        ).astype(np.float32)
+    )
+    cell_info = (tuple(int(n) for n in statics.n_ls), side)
+
+    out_g, vjp_g = jax.vjp(
+        lambda t: enc.gather_rows(
+            t, jnp.asarray(ids_np), cell_info=cell_info
+        ),
+        table_g,
+    )
+    out_c, vjp_c = jax.vjp(
+        lambda t: enc.gather_rows(
+            t, jnp.asarray(ids_local), cell_info=cell_info,
+            active=jnp.asarray(active), base=jnp.asarray(base),
+        ),
+        table_c,
+    )
+    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_g))
+    dt_g = np.asarray(vjp_g(cot)[0])
+    dt_c = np.asarray(vjp_c(cot)[0])
+    np.testing.assert_allclose(
+        dt_c[:, : touched.size], dt_g[:, touched], rtol=1e-6, atol=1e-6
+    )
+    assert (dt_c[:, touched.size:] == 0).all()
+
+
+def test_epoch_parity_compact_vs_full(rng):
+    """Two jitted epochs with active-vertex compaction on vs off: identical
+    metrics, collisions, and updated parameters."""
+    exp = experiment_from_grid_id(4061)
+    model = _cfg()
+    train = dataclasses.replace(exp.train, epochs=2)
+    exp = dataclasses.replace(exp, model=model, train=train)
+    statics = gngf.make_statics(model)
+
+    p = 300
+    coords = rng.random((p, 2)).astype(np.float32)
+    targets = rng.random((p, 3)).astype(np.float32)
+    perm = np.random.default_rng(0).permutation(p).astype(np.int32)
+
+    results = {}
+    for compact in (True, False):
+        batches = build_epoch_batches(
+            coords, targets, 1 / 3, perm,
+            model_cfg=model, statics=statics, compact_dedup=compact,
+        )
+        assert batches.dedup_ids is not None
+        assert (batches.dedup_active is not None) == compact
+        init_state, make_jitted = make_epoch_fn(exp, statics)
+        state, tx = init_state(jax.random.PRNGKey(7))
+        epoch = make_jitted(tx, p)
+        for _ in range(2):
+            state, metrics, _ = epoch(state, batches)
+        results[compact] = (state, metrics)
+
+    sc, mc = results[True]
+    sf, mf = results[False]
+    np.testing.assert_allclose(float(mc.loss), float(mf.loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mc.js_kl_per_level), np.asarray(mf.js_kl_per_level),
+        rtol=1e-4, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mc.collisions), np.asarray(mf.collisions)
+    )
+    np.testing.assert_allclose(
+        np.asarray(mc.image), np.asarray(mf.image), rtol=1e-5, atol=1e-6
+    )
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(sc.params),
+        jax.tree_util.tree_leaves_with_path(sf.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-7,
+            err_msg=f"param {jax.tree_util.keystr(pa)}",
+        )

@@ -107,6 +107,8 @@ def main():
         dedup = dedup_ops.DedupGeometry(
             batches.dedup_ids[0], batches.dedup_counts[0],
             batches.dedup_rev[0] if batches.dedup_rev is not None else None,
+            batches.dedup_active[0] if batches.dedup_active is not None else None,
+            batches.dedup_base[0] if batches.dedup_base is not None else None,
         )
 
     def loss_fn(params, bx, by):
