@@ -345,15 +345,27 @@ def _unique_fwd(h, w, b, counts, k, precision, noop_topk=False,
     if backend.startswith("pallas"):
         # keep the select kernel's (m, s) row statistics as residuals so the
         # backward kernels skip the online max/sum-exp sweep entirely
-        from .pallas.hpd_stream import hpd_stream_marginal, hpd_stream_select
+        from .pallas.hpd_stream import (
+            fused_supports,
+            hpd_stream_fused_fwd,
+            hpd_stream_marginal,
+            hpd_stream_select,
+        )
 
         interp = backend == "pallas_interpret"
-        vals, idx, m, s = hpd_stream_select(
-            h, w, b, k, precision, interpret=interp
-        )
-        marg = hpd_stream_marginal(
-            h, w, b, counts, m, s, precision, interpret=interp
-        )
+        if fused_supports(w.shape[1], k, h.shape[1]):
+            # single-sweep kernel: logits cached in VMEM, the (R, H) @ (H, T)
+            # matmul runs once instead of once per pass
+            marg, vals, idx, m, s = hpd_stream_fused_fwd(
+                h, w, b, counts, k, precision, interpret=interp
+            )
+        else:
+            vals, idx, m, s = hpd_stream_select(
+                h, w, b, k, precision, interpret=interp
+            )
+            marg = hpd_stream_marginal(
+                h, w, b, counts, m, s, precision, interpret=interp
+            )
         return (marg, vals, idx), (h, w, b, counts, idx, vals, m, s)
     out, _ = _unique_fwd_impl(
         h, w, b, counts, k, precision, approx_recall, backend
@@ -365,11 +377,20 @@ def _unique_fwd(h, w, b, counts, k, precision, noop_topk=False,
 def _unique_bwd(k, precision, noop_topk, approx_recall, backend, residuals,
                 cotangents):
     if backend.startswith("pallas"):
-        from .pallas.hpd_stream import hpd_tail_unique_pallas_bwd
+        from .pallas.hpd_stream import (
+            fused_supports,
+            hpd_stream_fused_bwd,
+            hpd_tail_unique_pallas_bwd,
+        )
 
         h, w, b, counts, idx, vals, m, s = residuals
         g_marg, g_vals, _g_idx = cotangents
-        dh, dw, db = hpd_tail_unique_pallas_bwd(
+        bwd_fn = (
+            hpd_stream_fused_bwd
+            if fused_supports(w.shape[1], k, h.shape[1])
+            else hpd_tail_unique_pallas_bwd
+        )
+        dh, dw, db = bwd_fn(
             h, w, b, counts, idx, vals, m, s, g_marg, g_vals, k,
             precision, noop_topk,
             interpret=(backend == "pallas_interpret"),

@@ -291,6 +291,339 @@ def hpd_stream_marginal(
     return marg[:l]
 
 
+# --------------------------------------------------------------------------- #
+# Fused single-sweep kernels                                                   #
+# --------------------------------------------------------------------------- #
+#
+# The split kernels above recompute the (R, H) @ (H, T) logits matmul in every
+# pass: select, marginal, B1 and B2 — 4x the fundamental FLOPs at fp32
+# "highest" (the dominant per-batch cost at the scaled config). These fused
+# variants cache the row block's full (R, T) logits (forward) / probabilities
+# (backward) in a VMEM scratch: the grid collapses to row blocks only, each
+# kernel sweeps the lane tiles twice in-kernel (statically unrolled), and the
+# big matmul runs ONCE per row block per direction. The weight (H, T), bias
+# and g_marg ride fully VMEM-resident (8 MB at H=128, T=2^14). Bitwise-
+# equivalent or better than the split kernels (the marginal's p comes from
+# the SAME cached f32 logits instead of a recompute).
+
+# (R, T) fp32 cache per row block; R adapts to the table width
+FUSED_CACHE_BYTES = 16 << 20
+# full-resident (H, T) weight cap — past this the split kernels take over
+FUSED_W_MAX_BYTES = 20 << 20
+
+
+def _fused_rows(t: int) -> int:
+    r = (FUSED_CACHE_BYTES // (4 * t)) // 8 * 8
+    return int(max(8, min(512, r)))
+
+
+def fused_supports(t: int, k: int, hd: int) -> bool:
+    return (
+        supports(t, k)
+        and hd * t * 4 <= FUSED_W_MAX_BYTES
+        and _fused_rows(t) >= 64
+    )
+
+
+def _online_topk_sweep(h_ref, w_ref, b_ref, cache_scr, k, lane_tile,
+                       precision, r, t):
+    """Pass 1 shared by the fused forward: per lane tile, one MXU matmul
+    (cached), online max/sum-exp, and the running exact top-k merge — the
+    same math as _select_kernel with the running state in registers (the
+    tile loop is in-kernel, so no cross-step scratch is needed)."""
+    nt = t // lane_tile
+    m_run = jnp.full((r, 1), -jnp.inf, jnp.float32)
+    s_run = jnp.zeros((r, 1), jnp.float32)
+    rv = jnp.full((r, k), -jnp.inf, jnp.float32)
+    ri = jnp.zeros((r, k), jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, lane_tile), 1)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (r, 2 * k), 1)
+    for j in range(nt):
+        tile = pl.ds(j * lane_tile, lane_tile)
+        logits = (
+            jnp.dot(
+                h_ref[:], w_ref[:, tile],
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            + b_ref[:, tile]
+        )
+        cache_scr[:, tile] = logits
+        tile_max = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_run, tile_max)
+        s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(
+            jnp.exp(logits - m_new), axis=-1, keepdims=True
+        )
+        m_run = m_new
+
+        work = logits
+        tvals, tidx = [], []
+        for _ in range(k):
+            am = jnp.argmax(work, axis=-1)
+            tvals.append(jnp.max(work, axis=-1))
+            tidx.append(am.astype(jnp.int32) + j * lane_tile)
+            work = jnp.where(col == am[:, None], -jnp.inf, work)
+        comb_v = jnp.concatenate([rv] + [v[:, None] for v in tvals], -1)
+        comb_i = jnp.concatenate([ri] + [i[:, None] for i in tidx], -1)
+        rv_cols, ri_cols = [], []
+        for _ in range(k):
+            am = jnp.argmax(comb_v, axis=-1)
+            hit = col2 == am[:, None]
+            rv_cols.append(jnp.max(comb_v, axis=-1))
+            ri_cols.append(jnp.sum(jnp.where(hit, comb_i, 0), axis=-1))
+            comb_v = jnp.where(hit, -jnp.inf, comb_v)
+        rv = jnp.stack(rv_cols, axis=-1)
+        ri = jnp.stack(ri_cols, axis=-1)
+    return m_run, s_run, rv, ri
+
+
+def _fused_fwd_kernel(
+    h_ref, w_ref, b_ref, cnt_ref,
+    marg_ref, vals_ref, idx_ref, m_ref, s_ref,
+    cache_scr,
+    *, k: int, lane_tile: int, need_marginal: bool, precision: str,
+):
+    ci = pl.program_id(0)
+    r = h_ref.shape[0]
+    t = w_ref.shape[1]
+    m_run, s_run, rv, ri = _online_topk_sweep(
+        h_ref, w_ref, b_ref, cache_scr, k, lane_tile, precision, r, t
+    )
+    vals_ref[:] = jnp.exp(rv - m_run) / s_run
+    idx_ref[:] = ri
+    m_ref[:] = m_run
+    s_ref[:] = s_run
+    if need_marginal:
+        for j in range(t // lane_tile):
+            tile = pl.ds(j * lane_tile, lane_tile)
+            p = jnp.exp(cache_scr[:, tile] - m_run) / s_run
+            contrib = jnp.dot(
+                cnt_ref[:], p,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+
+            @pl.when(ci == 0)
+            def _():
+                marg_ref[:, tile] = contrib
+
+            @pl.when(ci != 0)
+            def _():
+                marg_ref[:, tile] = marg_ref[:, tile] + contrib
+
+
+def hpd_stream_fused_fwd(
+    h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, counts: jnp.ndarray,
+    k: int, precision: str = "highest", need_marginal: bool = True,
+    interpret: bool = False,
+):
+    """One-matmul-per-row-block forward: returns
+    (marginal_raw (L, T), vals (U, K), idx (U, K), m (U, 1), s (U, 1))."""
+    u, hd = h.shape
+    t = w.shape[1]
+    l = counts.shape[0]
+    block = _fused_rows(t)
+    h_pad = _pad_rows_2d(h, block)
+    u_pad = h_pad.shape[0]
+    l_pad = l + ((-l) % 8)
+    counts_pad = jnp.pad(
+        counts.astype(jnp.float32), ((0, l_pad - l), (0, u_pad - u))
+    )
+    c = u_pad // block
+    row = lambda width: pl.BlockSpec(
+        (block, width), lambda ci: (ci, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda s0, s1: pl.BlockSpec(
+        (s0, s1), lambda ci: (0, 0), memory_space=pltpu.VMEM
+    )
+    marg, vals, idx, m, s = pl.pallas_call(
+        functools.partial(
+            _fused_fwd_kernel, k=k, lane_tile=LANE_TILE,
+            need_marginal=need_marginal, precision=precision,
+        ),
+        grid=(c,),
+        in_specs=[
+            row(hd),
+            full(hd, t),
+            full(1, t),
+            pl.BlockSpec(
+                (l_pad, block), lambda ci: (0, ci), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            full(l_pad, t),
+            row(k), row(k), row(1), row(1),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((l_pad, t), jnp.float32),
+            jax.ShapeDtypeStruct((u_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((u_pad, k), jnp.int32),
+            jax.ShapeDtypeStruct((u_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((u_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((block, t), jnp.float32)],
+        # logits cache (16M) + resident weight (8M at T=2^14) + marginal
+        # block + double-buffered row blocks
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(h_pad, w, b.reshape(1, t), counts_pad)
+    return marg[:l], vals[:u], idx[:u], m[:u], s[:u]
+
+
+def _fused_bwd_kernel(
+    h_ref, w_ref, b_ref, m_ref, s_ref, cntT_ref, gm_ref, idx_ref, gv_ref,
+    vals_ref,
+    dh_ref, dw_ref, db_ref,
+    cache_scr,
+    *, k: int, lane_tile: int, noop_topk: bool, precision: str,
+):
+    ci = pl.program_id(0)
+    r = h_ref.shape[0]
+    hd = h_ref.shape[1]
+    t = w_ref.shape[1]
+    l_pad = gm_ref.shape[0]
+    nt = t // lane_tile
+
+    # pass 1: recompute p from (m, s) residuals, cache it, accumulate the
+    # per-row G[r, l] = <g_marg[l], p[r]> on the MXU
+    g_rows = jnp.zeros((r, l_pad), jnp.float32)
+    for j in range(nt):
+        tile = pl.ds(j * lane_tile, lane_tile)
+        logits = (
+            jnp.dot(
+                h_ref[:], w_ref[:, tile],
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            + b_ref[:, tile]
+        )
+        p = jnp.exp(logits - m_ref[:]) / s_ref[:]
+        cache_scr[:, tile] = p
+        # p (R, TT) x gm (L, TT) contracted over TT -> (R, L)
+        g_rows = g_rows + jax.lax.dot_general(
+            p, gm_ref[:, tile], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    dot_r = jnp.sum(cntT_ref[:] * g_rows, axis=-1, keepdims=True)  # (R, 1)
+    if not noop_topk:
+        dot_r = dot_r + jnp.sum(
+            gv_ref[:] * vals_ref[:], axis=-1, keepdims=True
+        )
+
+    # pass 2: dlogits from the cached p, emit dh / dw / db
+    dh_acc = jnp.zeros((r, hd), jnp.float32)
+    for j in range(nt):
+        tile = pl.ds(j * lane_tile, lane_tile)
+        p = cache_scr[:, tile]
+        g_p = jnp.dot(
+            cntT_ref[:], gm_ref[:, tile],
+            preferred_element_type=jnp.float32, precision=precision,
+        )                                                      # (R, TT)
+        if not noop_topk:
+            col = j * lane_tile + jax.lax.broadcasted_iota(
+                jnp.int32, (r, lane_tile), 1
+            )
+            for ki in range(k):
+                g_p = g_p + jnp.where(
+                    col == idx_ref[:, ki][:, None],
+                    gv_ref[:, ki][:, None], 0.0,
+                )
+        dl = p * (g_p - dot_r)                                 # (R, TT)
+        # dl (R, TT) x w (H, TT) contracted over TT -> (R, H)
+        dh_acc = dh_acc + jax.lax.dot_general(
+            dl, w_ref[:, tile], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        # h (R, H) x dl (R, TT) contracted over R -> (H, TT)
+        dw_contrib = jax.lax.dot_general(
+            h_ref[:], dl, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        db_contrib = jnp.sum(dl, axis=0, keepdims=True)
+
+        @pl.when(ci == 0)
+        def _():
+            dw_ref[:, tile] = dw_contrib
+            db_ref[:, tile] = db_contrib
+
+        @pl.when(ci != 0)
+        def _():
+            dw_ref[:, tile] = dw_ref[:, tile] + dw_contrib
+            db_ref[:, tile] = db_ref[:, tile] + db_contrib
+
+    dh_ref[:] = dh_acc
+
+
+def hpd_stream_fused_bwd(
+    h, w, b, counts, idx, vals, m, s, g_marg, g_vals, k,
+    precision: str = "highest", noop_topk: bool = False,
+    interpret: bool = False,
+):
+    """One-matmul-per-row-block backward (replaces the B1+B2 pair):
+    returns (dh (U, H), dw (H, T), db (T,))."""
+    u, hd = h.shape
+    t = w.shape[1]
+    l = counts.shape[0]
+    block = _fused_rows(t)
+    h_pad = _pad_rows_2d(h, block)
+    m_pad = _pad_rows_2d(m, block)
+    s_raw = _pad_rows_2d(s, block)
+    s_pad = jnp.where(s_raw > 0, s_raw, 1.0)
+    idx_pad = _pad_rows_2d(idx, block)
+    gv_pad = _pad_rows_2d(g_vals, block)
+    vals_pad = _pad_rows_2d(vals, block)
+    u_pad = h_pad.shape[0]
+    l_pad = l + ((-l) % 8)
+    countsT_pad = jnp.pad(
+        counts.astype(jnp.float32).T, ((0, u_pad - u), (0, l_pad - l))
+    )
+    gm = jnp.pad(g_marg.astype(jnp.float32), ((0, l_pad - l), (0, 0)))
+    c = u_pad // block
+    row = lambda width: pl.BlockSpec(
+        (block, width), lambda ci: (ci, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda s0, s1: pl.BlockSpec(
+        (s0, s1), lambda ci: (0, 0), memory_space=pltpu.VMEM
+    )
+    dh, dw, db = pl.pallas_call(
+        functools.partial(
+            _fused_bwd_kernel, k=k, lane_tile=LANE_TILE,
+            noop_topk=noop_topk, precision=precision,
+        ),
+        grid=(c,),
+        in_specs=[
+            row(hd),
+            full(hd, t),
+            full(1, t),
+            row(1), row(1),
+            row(l_pad),
+            full(l_pad, t),
+            row(k), row(k), row(k),
+        ],
+        out_specs=[
+            row(hd),
+            full(hd, t),
+            full(1, t),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((u_pad, hd), jnp.float32),
+            jax.ShapeDtypeStruct((hd, t), jnp.float32),
+            jax.ShapeDtypeStruct((1, t), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((block, t), jnp.float32)],
+        # p cache (16M) + resident weight (8M) + resident dw accumulator (8M)
+        # + g_marg (1M) + row blocks
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        h_pad, w, b.reshape(1, t), m_pad, s_pad, countsT_pad, gm,
+        idx_pad, gv_pad, vals_pad,
+    )
+    return dh[:u], dw, db.reshape(t)
+
+
 def hpd_tail_unique_pallas_fwd(
     h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, counts: jnp.ndarray,
     k: int, precision: str = "highest", need_marginal: bool = True,
@@ -299,6 +632,14 @@ def hpd_tail_unique_pallas_fwd(
     """Forward of ops/fused_hpd.py:hpd_tail_unique on the TPU kernels:
     (marginal_raw (L, T), vals (U, K), idx (U, K)). The backward reuses the
     jax streaming VJP (identical residual contract: h, w, b, counts, idx)."""
+    if fused_supports(w.shape[1], k, h.shape[1]):
+        marg, vals, idx, _m, _s = hpd_stream_fused_fwd(
+            h, w, b, counts, k, precision=precision,
+            need_marginal=need_marginal, interpret=interpret,
+        )
+        if not need_marginal:
+            marg = jnp.zeros((counts.shape[0], w.shape[1]), jnp.float32)
+        return marg, vals, idx
     vals, idx, m, s = hpd_stream_select(
         h, w, b, k, precision=precision, interpret=interpret
     )

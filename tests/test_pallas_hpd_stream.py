@@ -110,3 +110,84 @@ def test_stream_noop_topk_vjp(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-4, atol=3e-5, err_msg=name
         )
+
+
+# --------------------- fused single-sweep kernels --------------------------- #
+
+def test_fused_supports_gate():
+    assert hpd_stream.fused_supports(2**14, 4, 128)
+    assert not hpd_stream.fused_supports(2**14, 128, 128)  # wide K
+    assert not hpd_stream.fused_supports(2**14, 4, 512)    # weight too wide
+
+
+def test_fused_fwd_matches_split(rng):
+    """The fused forward must agree with the split select+marginal pair
+    (same math from the same cached logits) and with the jax oracle."""
+    h, w, b, counts = _setup(rng)
+    marg_f, vals_f, idx_f, m_f, s_f = hpd_stream.hpd_stream_fused_fwd(
+        h, w, b, counts, K, interpret=True
+    )
+    vals_s, idx_s, m_s, s_s = hpd_stream.hpd_stream_select(
+        h, w, b, K, interpret=True
+    )
+    marg_s = hpd_stream.hpd_stream_marginal(
+        h, w, b, counts, m_s, s_s, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_s))
+    np.testing.assert_allclose(
+        np.asarray(vals_f), np.asarray(vals_s), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_s), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_f), np.asarray(s_s), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(marg_f), np.asarray(marg_s), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_fused_bwd_matches_split(rng):
+    """The fused backward must agree with the B1+B2 split pair."""
+    h, w, b, counts = _setup(rng)
+    gm = jnp.asarray(rng.standard_normal((L, T)).astype(np.float32))
+    gv = jnp.asarray(rng.standard_normal((U, K)).astype(np.float32))
+    vals, idx, m, s = hpd_stream.hpd_stream_select(h, w, b, K, interpret=True)
+    for noop in (False, True):
+        out_f = hpd_stream.hpd_stream_fused_bwd(
+            h, w, b, counts, idx, vals, m, s, gm, gv, K,
+            noop_topk=noop, interpret=True,
+        )
+        out_s = hpd_stream.hpd_tail_unique_pallas_bwd(
+            h, w, b, counts, idx, vals, m, s, gm, gv, K,
+            noop_topk=noop, interpret=True,
+        )
+        for a, b_, name in zip(out_f, out_s, ("dh", "dw", "db")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-5,
+                err_msg=f"{name} noop={noop}",
+            )
+
+
+def test_split_kernels_vjp_when_fused_gated_off(rng, monkeypatch):
+    """Force the split select/marginal/B1/B2 path (fused gate off) through
+    the full custom-vjp op — keeps the split kernels covered now that the
+    fused variants take these shapes by default."""
+    monkeypatch.setattr(hpd_stream, "FUSED_W_MAX_BYTES", 0)
+    h, w, b, counts = _setup(rng)
+    gm = jnp.asarray(rng.standard_normal((L, T)).astype(np.float32))
+    gv = jnp.asarray(rng.standard_normal((U, K)).astype(np.float32))
+
+    def scalar(backend):
+        def f(h, w, b):
+            marg, vals, _ = hpd_tail_unique(
+                h, w, b, counts, K, "highest", False, None, backend
+            )
+            return jnp.sum(marg * gm) + jnp.sum(vals * gv)
+        return f
+
+    g_j = jax.grad(scalar("jax"), argnums=(0, 1, 2))(h, w, b)
+    g_p = jax.grad(scalar("pallas_interpret"), argnums=(0, 1, 2))(h, w, b)
+    for a, b_, name in zip(g_p, g_j, ("dh", "dw", "db")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=3e-5, err_msg=name
+        )
