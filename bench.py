@@ -47,10 +47,12 @@ def main() -> None:
              "to 1/8 (its round-1 HBM concession).",
     )
     ap.add_argument(
-        "--precision", default=None, choices=[None, "highest", "default"],
-        help="Override matmul precision ('default' = fast bf16-multiply "
-             "MXU path; the headline metric uses the config's fp32 "
-             "'highest').",
+        "--precision", default=None,
+        choices=[None, "highest", "high", "default"],
+        help="Override matmul precision ('default' = fast single-pass "
+             "bf16-multiply MXU path, 'high' = 3-pass bf16 (~fp32 "
+             "accuracy at ~2x the MXU rate); the headline metric uses "
+             "the config's fp32 'highest').",
     )
     args = ap.parse_args()
 

@@ -3,7 +3,11 @@ seed, tolerance=inf (the reference's early stopper is de-facto disabled by its
 uninitialized-buffer loss noise — RESULTS.md), 5000-epoch budget, config 4061
 on strawberry.jpeg. Prints one JSON summary line per seed.
 
-Usage: python tools/run_cold.py [epochs] [seed ...]
+--scaled swaps in the InstantNGP-scale model (T=2^14, L=16 — BASELINE
+config 4) with the same 4061 training recipe at the reference's 1/3 batches,
+for a quality demonstration of the scaled-table path.
+
+Usage: python tools/run_cold.py [epochs] [seed ...] [--precision=P] [--scaled]
 """
 
 import dataclasses
@@ -19,16 +23,28 @@ from collision_handling_in_instantngp_tpu.train.trainer import fit
 from collision_handling_in_instantngp_tpu.utils.logging import JsonlLogger
 
 
-def main(epochs, seeds, precision=None):
+def main(epochs, seeds, precision=None, scaled=False):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data = load_image_dataset(os.path.join(repo, "images", "strawberry.jpeg"))
     tag = "" if not precision else f"_{precision}"
+    if scaled:
+        tag += "_scaled"
     for seed in seeds:
         exp = experiment_from_grid_id(4061)
         exp = dataclasses.replace(
             exp,
             train=dataclasses.replace(exp.train, tolerance=10**9, seed=seed),
         )
+        if scaled:
+            from collision_handling_in_instantngp_tpu.config import (
+                instantngp_scaled_model,
+            )
+
+            exp = dataclasses.replace(
+                exp,
+                model=instantngp_scaled_model(),
+                train=dataclasses.replace(exp.train, batch_fraction=1 / 3),
+            )
         if precision:
             exp = dataclasses.replace(
                 exp,
@@ -49,7 +65,7 @@ def main(epochs, seeds, precision=None):
         )
         print(json.dumps({
             "image": "strawberry.jpeg", "grid_id": 4061, "seed": seed,
-            "precision": precision or "highest",
+            "precision": precision or "highest", "scaled": scaled,
             "epochs": res.epochs_run, "best_psnr": round(res.best_psnr, 4),
             "final_psnr": round(res.final_psnr, 4),
             "final_loss": round(res.final_loss, 6), "run_dir": res.run_dir,
@@ -64,4 +80,4 @@ if __name__ == "__main__":
             precision = a.split("=", 1)[1]
     epochs = int(args[0]) if args else 5000
     seeds = [int(s) for s in args[1:]] or [65535]
-    main(epochs, seeds, precision)
+    main(epochs, seeds, precision, scaled="--scaled" in sys.argv[1:])
