@@ -325,12 +325,18 @@ def fused_supports(t: int, k: int, hd: int) -> bool:
     )
 
 
-def _online_topk_sweep(h_ref, w_ref, b_ref, cache_scr, k, lane_tile,
+def _online_topk_sweep(h_ref, w_ref, b_ref, cache_scr, mh_scr, k, lane_tile,
                        precision, r, t):
-    """Pass 1 shared by the fused forward: per lane tile, one MXU matmul
-    (cached), online max/sum-exp, and the running exact top-k merge — the
-    same math as _select_kernel with the running state in registers (the
-    tile loop is in-kernel, so no cross-step scratch is needed)."""
+    """Pass 1 shared by the fused forward: per lane tile, one MXU matmul,
+    online max/sum-exp, and the running exact top-k merge — the same math as
+    _select_kernel with the running state in registers (the tile loop is
+    in-kernel, so no cross-step scratch is needed).
+
+    The cache holds e_j = exp(logits - m_run_after_tile_j) (plus the per-tile
+    m_run snapshots in mh_scr), not raw logits: the marginal pass then
+    rescales each tile by the SCALAR exp(m_j - m_final) / s instead of
+    re-running a full (R, TT) exp — and e_j is exactly the summand the online
+    sum-exp needs anyway."""
     nt = t // lane_tile
     m_run = jnp.full((r, 1), -jnp.inf, jnp.float32)
     s_run = jnp.zeros((r, 1), jnp.float32)
@@ -347,11 +353,13 @@ def _online_topk_sweep(h_ref, w_ref, b_ref, cache_scr, k, lane_tile,
             )
             + b_ref[:, tile]
         )
-        cache_scr[:, tile] = logits
         tile_max = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_run, tile_max)
+        e = jnp.exp(logits - m_new)                            # (R, TT)
+        cache_scr[:, tile] = e
+        mh_scr[:, j] = m_new[:, 0]
         s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(
-            jnp.exp(logits - m_new), axis=-1, keepdims=True
+            e, axis=-1, keepdims=True
         )
         m_run = m_new
 
@@ -379,14 +387,14 @@ def _online_topk_sweep(h_ref, w_ref, b_ref, cache_scr, k, lane_tile,
 def _fused_fwd_kernel(
     h_ref, w_ref, b_ref, cnt_ref,
     marg_ref, vals_ref, idx_ref, m_ref, s_ref,
-    cache_scr,
+    cache_scr, mh_scr,
     *, k: int, lane_tile: int, need_marginal: bool, precision: str,
 ):
     ci = pl.program_id(0)
     r = h_ref.shape[0]
     t = w_ref.shape[1]
     m_run, s_run, rv, ri = _online_topk_sweep(
-        h_ref, w_ref, b_ref, cache_scr, k, lane_tile, precision, r, t
+        h_ref, w_ref, b_ref, cache_scr, mh_scr, k, lane_tile, precision, r, t
     )
     vals_ref[:] = jnp.exp(rv - m_run) / s_run
     idx_ref[:] = ri
@@ -395,7 +403,10 @@ def _fused_fwd_kernel(
     if need_marginal:
         for j in range(t // lane_tile):
             tile = pl.ds(j * lane_tile, lane_tile)
-            p = jnp.exp(cache_scr[:, tile] - m_run) / s_run
+            # p = e_j * exp(m_j - m_final) / s — a per-row scalar rescale of
+            # the cached tile instead of a fresh (R, TT) exp
+            scale = jnp.exp(mh_scr[:, j : j + 1] - m_run) / s_run
+            p = cache_scr[:, tile] * scale
             contrib = jnp.dot(
                 cnt_ref[:], p,
                 preferred_element_type=jnp.float32, precision=precision,
@@ -459,9 +470,12 @@ def hpd_stream_fused_fwd(
             jax.ShapeDtypeStruct((u_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((u_pad, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((block, t), jnp.float32)],
-        # logits cache (16M) + resident weight (8M at T=2^14) + marginal
-        # block + double-buffered row blocks
+        scratch_shapes=[
+            pltpu.VMEM((block, t), jnp.float32),
+            pltpu.VMEM((block, t // LANE_TILE), jnp.float32),
+        ],
+        # e-cache (16M) + resident weight (8M at T=2^14) + marginal block +
+        # double-buffered row blocks
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=48 * 1024 * 1024
         ),
