@@ -555,3 +555,58 @@ def test_epoch_parity_compact_vs_full(rng):
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-7,
             err_msg=f"param {jax.tree_util.keystr(pa)}",
         )
+
+
+def test_epoch_parity_compact_streaming_kernels(rng):
+    """Compaction x streaming tail x fused Pallas kernels (interpret),
+    through build_epoch_batches + the jitted epoch: identical metrics and
+    parameters vs the uncompacted jax streaming path."""
+    exp = experiment_from_grid_id(4061)
+    model = _cfg(
+        n_max=32, hash_table_size=4096, topk_k=4,
+        hpd_backend="unique_stream_pallas_interpret",
+    )
+    train = dataclasses.replace(exp.train, epochs=2)
+    exp = dataclasses.replace(exp, model=model, train=train)
+    statics = gngf.make_statics(model)
+
+    p = 300
+    coords = rng.random((p, 2)).astype(np.float32)
+    targets = rng.random((p, 3)).astype(np.float32)
+    perm = np.random.default_rng(0).permutation(p).astype(np.int32)
+
+    results = {}
+    for compact in (True, False):
+        m = model if compact else dataclasses.replace(
+            model, hpd_backend="unique_stream"
+        )
+        e = dataclasses.replace(exp, model=m)
+        batches = build_epoch_batches(
+            coords, targets, 1 / 3, perm,
+            model_cfg=m, statics=statics, compact_dedup=compact,
+        )
+        assert (batches.dedup_active is not None) == compact
+        init_state, make_jitted = make_epoch_fn(e, statics)
+        state, tx = init_state(jax.random.PRNGKey(7))
+        epoch = make_jitted(tx, p)
+        for _ in range(2):
+            state, metrics, _ = epoch(state, batches)
+        results[compact] = (state, metrics)
+
+    sc, mc = results[True]
+    sf, mf = results[False]
+    np.testing.assert_allclose(float(mc.loss), float(mf.loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mc.collisions), np.asarray(mf.collisions)
+    )
+    np.testing.assert_allclose(
+        np.asarray(mc.image), np.asarray(mf.image), rtol=1e-5, atol=1e-6
+    )
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(sc.params),
+        jax.tree_util.tree_leaves_with_path(sf.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-7,
+            err_msg=f"param {jax.tree_util.keystr(pa)}",
+        )
