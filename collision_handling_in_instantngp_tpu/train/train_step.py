@@ -211,16 +211,20 @@ def build_epoch_batches(
         # the shared vertex grid (~61% at the scaled config's 1/3 batches);
         # compact every U-proportional stage to the touched rows when that
         # actually shrinks them (flagship-scale grids are fully touched).
-        # U_c is padded to the streaming kernels' row-block multiple and
-        # shared across batches so the epoch scan stays statically shaped.
+        # U_c is shared across batches so the epoch scan stays statically
+        # shaped; the kernels pad rows to their own block multiples
+        # internally, so 256 here is just a friendly alignment.
         u_c = max(
             int(np.unique(ids_b).size)
             for ids_b in ids_list
         )
-        u_c_pad = -(-u_c // 512) * 512
+        u_c_pad = -(-u_c // 256) * 256
         if (
             compact_dedup
-            and u_c_pad < u
+            # engage only when the saving is meaningful — the flagship's 1/3
+            # batches touch ~89% of its tiny grid, where the compact
+            # indirection isn't worth it; the scaled config touches ~61%
+            and u_c_pad < 0.85 * u
             and model_cfg.input_dim == 2
             and model_cfg.num_corners == 4
         ):

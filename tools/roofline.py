@@ -47,7 +47,7 @@ PEAKS = {
 FP32_HIGHEST_DIVISOR = 6.0  # 6-pass bf16 decomposition of a true-fp32 matmul
 
 
-def epoch_ledger(exp, num_pixels):
+def epoch_ledger(exp, num_pixels, u_compact=None):
     m = exp.model
     from collision_handling_in_instantngp_tpu.models import gngf
 
@@ -63,6 +63,10 @@ def epoch_ledger(exp, num_pixels):
         if statics.unique_coords is not None
         else p * v * l
     )
+    if u_compact is not None:
+        # active-vertex compaction: U-proportional stages run on the touched
+        # rows only (~61% at the scaled config's 1/3 batches)
+        u = min(u, u_compact)
     widths = (m.input_dim, *m.hpd_hidden, t)
     hpd_macs = u * sum(a * b for a, b in zip(widths, widths[1:]))
     marginal_macs = l * u * t
@@ -117,17 +121,48 @@ def main():
 
     exp = experiment_from_grid_id(4061)
     if args.mode == "scaled":
+        # 1/3-image batches = the reference's own batch size (bench.py)
         exp = dataclasses.replace(
             exp,
             model=instantngp_scaled_model(),
-            train=dataclasses.replace(exp.train, batch_fraction=1 / 8),
+            train=dataclasses.replace(exp.train, batch_fraction=1 / 3),
         )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     from collision_handling_in_instantngp_tpu.data import load_image_dataset
 
     data = load_image_dataset(os.path.join(repo, "images", "strawberry.jpeg"))
-    ledger = epoch_ledger(exp, data.num_pixels)
+
+    # active-vertex compaction row count for one batch (train_step pads the
+    # max over batches to a 512 multiple; one batch is representative)
+    u_compact = None
+    from collision_handling_in_instantngp_tpu.models import gngf as _gngf
+    from collision_handling_in_instantngp_tpu.ops import dedup as _dedup
+
+    _statics = _gngf.make_statics(exp.model)
+    if _statics.unique_coords is not None:
+        import numpy as np
+
+        from collision_handling_in_instantngp_tpu.data import (
+            make_shuffle_permutations,
+        )
+
+        nb = int(np.ceil(1.0 / exp.train.batch_fraction))
+        b = -(-data.num_pixels // nb)
+        shuffled, _ = make_shuffle_permutations(
+            data.num_pixels, exp.train.seed, True
+        )
+        ids_b, _ = _dedup.build_geometry_np(
+            np.asarray(data.coords)[np.asarray(shuffled[:b])],
+            _statics.n_ls, _statics.offsets, exp.model.n_max,
+        )
+        u_c_pad = -(-int(np.unique(ids_b).size) // 256) * 256
+        # mirror build_epoch_batches' gate: compaction engages only when the
+        # saving is meaningful
+        if u_c_pad < 0.85 * _statics.unique_coords.shape[0]:
+            u_compact = u_c_pad
+
+    ledger = epoch_ledger(exp, data.num_pixels, u_compact=u_compact)
 
     kind = jax.devices()[0].device_kind
     peak = PEAKS.get(kind)

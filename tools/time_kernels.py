@@ -66,6 +66,21 @@ def main():
     bench("bwd kernels (B1+B2)", bwd, h, w, b, counts, idx, vals, m, s,
           gmarg, gvals)
 
+    fwd_f = jax.jit(lambda *a: hs.hpd_stream_fused_fwd(*a, K, prec))
+    bench("fused fwd kernel", fwd_f, h, w, b, counts)
+    bwd_f = jax.jit(lambda *a: hs.hpd_stream_fused_bwd(*a, K, prec))
+    bench("fused bwd kernel", bwd_f, h, w, b, counts, idx, vals, m, s,
+          gmarg, gvals)
+
+    # active-vertex compaction shrinks U to the touched rows (~61% at 1/3
+    # batches); re-time the fused pair at that row count
+    u_c = 162304
+    fwd_c = jax.jit(lambda *a: hs.hpd_stream_fused_fwd(*a, K, prec))
+    bench("fused fwd @ compacted U", fwd_c, h[:u_c], w, b, counts[:, :u_c])
+    bwd_c = jax.jit(lambda *a: hs.hpd_stream_fused_bwd(*a, K, prec))
+    bench("fused bwd @ compacted U", bwd_c, h[:u_c], w, b, counts[:, :u_c],
+          idx[:u_c], vals[:u_c], m[:u_c], s[:u_c], gmarg, gvals[:u_c])
+
     blend_f = jax.jit(lambda t_, i_, w_: enc._blend_core(t_, i_, w_))
     bench("blend fwd (S-matrix)", blend_f, tables, idx, vals)
     blend_vjp = jax.jit(
