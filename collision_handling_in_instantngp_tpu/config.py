@@ -102,6 +102,14 @@ class ModelConfig:
     # Fused-tail backend: "auto" (Pallas kernel on TPU for small K, streaming
     # lax.scan otherwise), "jax", "pallas", "pallas_interpret".
     hpd_backend: str = "auto"
+    # Cell-table per-pixel gather under active-vertex compaction: fetch each
+    # (pixel, level)'s 2x2 corner patch as ONE (V*F)-wide row from a per-batch
+    # compact cell table instead of V narrow per-vertex rows — 4x fewer,
+    # 4x wider gather rows (TPU gathers are row-granular and crawl on 8-byte
+    # rows). Opt-in: at the flagship scale the explicit table defeated XLA's
+    # gather+blend fusion and LOST end-to-end (encoding.py note) — measure
+    # per config.
+    dedup_cell_gather: bool = False
 
     @property
     def num_corners(self) -> int:

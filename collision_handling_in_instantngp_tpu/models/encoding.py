@@ -463,13 +463,16 @@ def _gather_rows_cells_compact_fwd(per_level_table, ids_local, active, base,
     )
 
 
-def _gather_rows_cells_compact_bwd(n_ls, side, res, g):
+def _cells_compact_grad(n_ls, side, active, base, g):
     """Same cell-structured one-hot segment-sum as _gather_rows_cells_bwd —
     the per-level (s_l, s_l) vertex grid is built identically — but the final
     map lands on the COMPACT rows: each active global id (i, j) reads its
     level-local vertex cell, and -1 padding rows are masked to zero so the
-    duplicate-of-row-0 padding never double-counts gradient."""
-    (l, u_c, f), active, base = res
+    duplicate-of-row-0 padding never double-counts gradient. Shared by the
+    per-vertex and cell-table compact gather VJPs (their forwards read the
+    same values, so the cotangent contract is identical)."""
+    l = g.shape[1]
+    f = g.shape[3]
     p = g.shape[0]
     v = g.shape[2]
     ids_cl = jnp.clip(active, 0)
@@ -516,11 +519,64 @@ def _gather_rows_cells_compact_bwd(n_ls, side, res, g):
         dt_levels.append(
             jnp.where(valid[:, None], jnp.take(flat, local, axis=0), 0.0)
         )
-    return jnp.stack(dt_levels), None, None, None
+    return jnp.stack(dt_levels)
+
+
+def _gather_rows_cells_compact_bwd(n_ls, side, res, g):
+    _shape, active, base = res
+    return _cells_compact_grad(n_ls, side, active, base, g), None, None, None
 
 
 _gather_rows_cells_compact.defvjp(
     _gather_rows_cells_compact_fwd, _gather_rows_cells_compact_bwd
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gather_cells_table_compact(per_level_table, pixel_cell, cell_corners,
+                                active, base, n_ls, side):
+    """Cell-TABLE per-pixel gather (ModelConfig.dedup_cell_gather): build a
+    per-level (C_l, V*F) compact cell table (one narrow gather over the
+    touched cells), then fetch each (pixel, level)'s whole 2x2 patch as ONE
+    wide row — 4x fewer per-pixel gather rows than the per-vertex form, same
+    values. The backward is the shared cell-structured compact segment-sum
+    (_cells_compact_grad)."""
+    return _gather_cells_table_impl(per_level_table, pixel_cell, cell_corners)
+
+
+def _gather_cells_table_impl(per_level_table, pixel_cell, cell_corners):
+    l, u_c, f = per_level_table.shape
+    p = pixel_cell.shape[0]
+    parts = []
+    for li in range(l):
+        corners = cell_corners[li]                       # (C_l, V)
+        c_l, v = corners.shape
+        cell_vals = jnp.take(
+            per_level_table[li], corners.reshape(-1), axis=0
+        ).reshape(c_l, v * f)                            # (C_l, V*F)
+        rows = jnp.take(cell_vals, pixel_cell[:, li], axis=0)   # (P, V*F)
+        parts.append(rows.reshape(p, v, f))
+    return jnp.stack(parts, axis=1)                      # (P, L, V, F)
+
+
+def _gather_cells_table_compact_fwd(per_level_table, pixel_cell, cell_corners,
+                                    active, base, n_ls, side):
+    return (
+        _gather_cells_table_impl(per_level_table, pixel_cell, cell_corners),
+        (active, base),
+    )
+
+
+def _gather_cells_table_compact_bwd(n_ls, side, res, g):
+    active, base = res
+    return (
+        _cells_compact_grad(n_ls, side, active, base, g),
+        None, None, None, None,
+    )
+
+
+_gather_cells_table_compact.defvjp(
+    _gather_cells_table_compact_fwd, _gather_cells_table_compact_bwd
 )
 
 
@@ -532,6 +588,8 @@ def gather_rows(
     cell_info=None,
     active=None,
     base=None,
+    cell_corners=None,
+    pixel_cell=None,
 ) -> jnp.ndarray:
     """Per-pixel gather from a (L, U, F) per-vertex feature table.
 
@@ -556,6 +614,11 @@ def gather_rows(
     """
     if cell_info is not None and ids.ndim == 3 and ids.shape[-1] == 4:
         n_ls, side = cell_info
+        if active is not None and cell_corners is not None:
+            return _gather_cells_table_compact(
+                per_level_table, pixel_cell, cell_corners, active, base,
+                tuple(n_ls), int(side),
+            )
         if active is not None:
             return _gather_rows_cells_compact(
                 per_level_table, ids, active, base, tuple(n_ls), int(side)

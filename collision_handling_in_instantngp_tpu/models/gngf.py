@@ -235,6 +235,12 @@ def forward(
         feats = enc.gather_rows(
             feats_u, ids, cell_info=cell_info, active=active,
             base=dedup.base if dedup is not None else None,
+            cell_corners=(
+                dedup.cell_corners
+                if dedup is not None and cfg.dedup_cell_gather
+                else None
+            ),
+            pixel_cell=dedup.pixel_cell if dedup is not None else None,
         )                                                          # (P,L,V,F)
         if need_indices:
             indices = jnp.take(idx_u, ids, axis=0)                 # (P,L,V,K)

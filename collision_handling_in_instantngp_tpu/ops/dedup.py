@@ -67,6 +67,10 @@ class DedupGeometry(NamedTuple):
     rev: Optional[Tuple[jnp.ndarray, ...]] = None
     active: Optional[jnp.ndarray] = None
     base: Optional[jnp.ndarray] = None
+    # cell-table gather (ModelConfig.dedup_cell_gather): per-level (C_l, V)
+    # compact corner ids of each touched cell + (P, L) per-row cell indices
+    cell_corners: Optional[Tuple[jnp.ndarray, ...]] = None
+    pixel_cell: Optional[jnp.ndarray] = None
 
 
 def grid_side(n_max: int) -> int:
@@ -194,6 +198,48 @@ def compact_geometry_np(
          for l in range(num_levels)]
     )
     return active, ids_local, counts_c, ids[:, :, 0].astype(np.int32)
+
+
+def cell_geometry_np(
+    ids: np.ndarray, active: np.ndarray, side: int
+) -> Tuple[Tuple[np.ndarray, ...], np.ndarray]:
+    """Host-side per-level CELL tables for the cell-table gather
+    (ModelConfig.dedup_cell_gather) under active-vertex compaction.
+
+    A (pixel, level)'s V=4 corners are one 2x2 patch whose base vertex is
+    corner v=0; gathering the patch as ONE (V*F)-wide cell row quarters the
+    row count of the per-pixel gather. Every corner of a pixel's cell is by
+    construction in ``active``.
+
+    Args:
+      ids: (P, L, V) int32 GLOBAL vertex ids (build_geometry_np).
+      active: (U_c,) int32 sorted touched ids, -1 padded
+        (compact_geometry_np).
+
+    Returns:
+      corner_locals: per-level (C_l, V) int32 — COMPACT row ids of each
+        touched cell's corners (cells sorted by base id).
+      pixel_cell:    (P, L) int32 — each row's index into its level's cells.
+    """
+    p, num_levels, v = ids.shape
+    touched = active[active >= 0]
+    corner_locals, pixel_cols = [], []
+    for li in range(num_levels):
+        base = ids[:, li, 0]
+        cells, pixel_idx = np.unique(base, return_inverse=True)
+        ci, cj = np.divmod(cells, side)
+        corners = np.stack(
+            [
+                (ci + (vi & 1)) * side + (cj + (vi >> 1))
+                for vi in range(v)
+            ],
+            axis=-1,
+        )                                               # (C_l, V) global ids
+        corner_locals.append(
+            np.searchsorted(touched, corners).astype(np.int32)
+        )
+        pixel_cols.append(pixel_idx.astype(np.int32))
+    return tuple(corner_locals), np.stack(pixel_cols, axis=-1)
 
 
 def active_coords(active: jnp.ndarray, side: int) -> jnp.ndarray:

@@ -106,5 +106,17 @@ def shard_state_and_batches(state, batches, mesh: Mesh, shard_tables: bool = Fal
             None if batches.dedup_base is None
             else jax.device_put(batches.dedup_base, bsh)
         ),
+        # cell tables are U_c/cell-indexed (replicated); pixel_cell is
+        # per-pixel-row (data-sharded)
+        dedup_cell_corners=(
+            None if batches.dedup_cell_corners is None
+            else tuple(
+                jax.device_put(c, rep) for c in batches.dedup_cell_corners
+            )
+        ),
+        dedup_pixel_cell=(
+            None if batches.dedup_pixel_cell is None
+            else jax.device_put(batches.dedup_pixel_cell, bsh)
+        ),
     )
     return state, sharded_batches

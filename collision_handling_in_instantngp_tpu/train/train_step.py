@@ -78,6 +78,12 @@ class EpochBatches(NamedTuple):
     dedup_base: Optional[jnp.ndarray] = None    # (nb, B, L) int32 global v=0
                               # corner ids (cell bases) for the compact
                               # gather backward
+    dedup_cell_corners: Optional[Tuple[jnp.ndarray, ...]] = None
+                              # per-level (nb, C_l_pad, V) int32 compact
+                              # corner ids of touched cells — cell-table
+                              # gather (ModelConfig.dedup_cell_gather)
+    dedup_pixel_cell: Optional[jnp.ndarray] = None  # (nb, B, L) int32 per-row
+                              # cell indices for the cell-table gather
 
 
 class TrainState(NamedTuple):
@@ -190,6 +196,7 @@ def build_epoch_batches(
 
     dedup_ids = dedup_counts = dedup_rev = None
     dedup_active = dedup_base = None
+    dedup_cell_corners = dedup_pixel_cell = None
     if (
         model_cfg is not None
         and statics is not None
@@ -241,6 +248,30 @@ def build_epoch_batches(
             dedup_counts = jnp.asarray(np.stack(cnt_l))
             dedup_active = jnp.asarray(np.stack(act_l))
             dedup_base = jnp.asarray(np.stack(base_l))
+            if model_cfg.dedup_cell_gather:
+                # per-level cell tables, padded to the max cell count over
+                # batches (padded cells reference compact row 0; no pixel
+                # indexes them)
+                per_batch = [
+                    dedup_ops.cell_geometry_np(ids_b, a, side=model_cfg.n_max + 2)
+                    for ids_b, a in zip(ids_list, act_l)
+                ]
+                num_levels = model_cfg.num_levels
+                corners_stacked = []
+                for li in range(num_levels):
+                    c_pad = max(cb[0][li].shape[0] for cb in per_batch)
+                    lvl = [
+                        np.pad(
+                            cb[0][li],
+                            ((0, c_pad - cb[0][li].shape[0]), (0, 0)),
+                        )
+                        for cb in per_batch
+                    ]
+                    corners_stacked.append(jnp.asarray(np.stack(lvl)))
+                dedup_cell_corners = tuple(corners_stacked)
+                dedup_pixel_cell = jnp.asarray(
+                    np.stack([cb[1] for cb in per_batch])
+                )
         else:
             dedup_ids = jnp.asarray(np.stack(ids_list))
             dedup_counts = jnp.asarray(np.stack(counts_list))
@@ -261,6 +292,8 @@ def build_epoch_batches(
         dedup_rev=dedup_rev,
         dedup_active=dedup_active,
         dedup_base=dedup_base,
+        dedup_cell_corners=dedup_cell_corners,
+        dedup_pixel_cell=dedup_pixel_cell,
     )
 
 
@@ -337,9 +370,12 @@ def make_epoch_fn(
 
         def body(carry, batch):
             params, opt_state, bn_state = carry
-            bx, by, nvalid, dids, dcounts, drev, dactive, dbase = batch
+            (bx, by, nvalid, dids, dcounts, drev, dactive, dbase,
+             dcells, dpixcell) = batch
             dedup = (
-                dedup_ops.DedupGeometry(dids, dcounts, drev, dactive, dbase)
+                dedup_ops.DedupGeometry(
+                    dids, dcounts, drev, dactive, dbase, dcells, dpixcell
+                )
                 if dids is not None
                 else None
             )
@@ -380,7 +416,8 @@ def make_epoch_fn(
             body, (state.params, state.opt_state, state.bn_state),
             (batches.x, batches.y, batches.valid,
              batches.dedup_ids, batches.dedup_counts, batches.dedup_rev,
-             batches.dedup_active, batches.dedup_base),
+             batches.dedup_active, batches.dedup_base,
+             batches.dedup_cell_corners, batches.dedup_pixel_cell),
         )
         rgb_all, idx_all, presence_all, losses, mses, js_kls, coll_losses = outs
 

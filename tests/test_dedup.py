@@ -610,3 +610,47 @@ def test_epoch_parity_compact_streaming_kernels(rng):
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-7,
             err_msg=f"param {jax.tree_util.keystr(pa)}",
         )
+
+
+def test_epoch_parity_cell_table_gather(rng):
+    """Cell-table gather (ModelConfig.dedup_cell_gather) vs the per-vertex
+    compact gather: identical metrics and parameters over 2 jitted epochs."""
+    exp = experiment_from_grid_id(4061)
+    train = dataclasses.replace(exp.train, epochs=2)
+
+    p = 300
+    coords = rng.random((p, 2)).astype(np.float32)
+    targets = rng.random((p, 3)).astype(np.float32)
+    perm = np.random.default_rng(0).permutation(p).astype(np.int32)
+
+    results = {}
+    for cell in (True, False):
+        model = _cfg(dedup_cell_gather=cell)
+        e = dataclasses.replace(exp, model=model, train=train)
+        statics = gngf.make_statics(model)
+        batches = build_epoch_batches(
+            coords, targets, 1 / 3, perm, model_cfg=model, statics=statics,
+        )
+        assert batches.dedup_active is not None
+        assert (batches.dedup_cell_corners is not None) == cell
+        init_state, make_jitted = make_epoch_fn(e, statics)
+        state, tx = init_state(jax.random.PRNGKey(7))
+        epoch = make_jitted(tx, p)
+        for _ in range(2):
+            state, metrics, _ = epoch(state, batches)
+        results[cell] = (state, metrics)
+
+    sc, mc = results[True]
+    sf, mf = results[False]
+    np.testing.assert_allclose(float(mc.loss), float(mf.loss), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mc.image), np.asarray(mf.image), rtol=1e-6, atol=1e-7
+    )
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(sc.params),
+        jax.tree_util.tree_leaves_with_path(sf.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8,
+            err_msg=f"param {jax.tree_util.keystr(pa)}",
+        )

@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--mode", default="scaled", choices=["scaled", "gngf"])
     ap.add_argument("--batch-fraction", type=float, default=None)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument(
+        "--cell-gather", action="store_true",
+        help="A/B the cell-table per-pixel gather "
+             "(ModelConfig.dedup_cell_gather)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -80,6 +85,10 @@ def main():
                 exp.train, batch_fraction=args.batch_fraction
             ),
         )
+    if args.cell_gather:
+        exp = dataclasses.replace(
+            exp, model=dataclasses.replace(exp.model, dedup_cell_gather=True)
+        )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data = load_image_dataset(os.path.join(repo, "images", "strawberry.jpeg"))
     statics = gngf.make_statics(exp.model)
@@ -109,6 +118,10 @@ def main():
             batches.dedup_rev[0] if batches.dedup_rev is not None else None,
             batches.dedup_active[0] if batches.dedup_active is not None else None,
             batches.dedup_base[0] if batches.dedup_base is not None else None,
+            tuple(c[0] for c in batches.dedup_cell_corners)
+            if batches.dedup_cell_corners is not None else None,
+            batches.dedup_pixel_cell[0]
+            if batches.dedup_pixel_cell is not None else None,
         )
 
     def loss_fn(params, bx, by):
