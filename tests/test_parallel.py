@@ -110,3 +110,53 @@ def test_table_tp_matches_replicated(rng, exp):
     np.testing.assert_allclose(
         np.asarray(m.collisions), np.asarray(m1.collisions)
     )
+
+
+def test_tp_with_compacted_geometry(rng):
+    """Precomputed + COMPACTED dedup geometry sharded onto a (data=4,
+    model=2) mesh (active/counts/cell tables replicated, per-row ids/base
+    data-sharded): same loss trajectory and parameters as unsharded."""
+    import dataclasses
+
+    exp = experiment_from_grid_id(4061)
+    model = dataclasses.replace(
+        exp.model, hash_table_size=64, hpd_hidden=(8, 16), mlp_hidden=(16,),
+        topk_k=3, fused_hpd=False, dedup_cell_gather=True, n_max=16,
+    )
+    exp = dataclasses.replace(exp, model=model)
+    statics = gngf.make_statics(model)
+    coords = rng.random((192, 2), dtype=np.float32)
+    img = rng.random((192, 3), dtype=np.float32)
+    perm = rng.permutation(192).astype(np.int32)
+    batches = build_epoch_batches(
+        coords, img, 1 / 3, perm, model_cfg=model, statics=statics
+    )
+    assert batches.dedup_active is not None
+    assert batches.dedup_cell_corners is not None
+
+    init_state, make_jitted = make_epoch_fn(exp, statics)
+    state, tx = init_state(jax.random.PRNGKey(65535))
+    epoch = make_jitted(tx, 192)
+
+    s1 = jax.tree_util.tree_map(lambda x: x, state)
+    losses_ref = []
+    for _ in range(2):
+        s1, m1, _ = epoch(s1, batches)
+        losses_ref.append(float(m1.loss))
+
+    mesh = make_mesh(model_parallel=2)
+    s, b = shard_state_and_batches(state, batches, mesh, shard_tables=True)
+    losses_tp = []
+    for _ in range(2):
+        s, m, _ = epoch(s, b)
+        losses_tp.append(float(m.loss))
+
+    np.testing.assert_allclose(losses_tp, losses_ref, rtol=2e-5)
+    for (path, a), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(s.params),
+        jax.tree_util.tree_leaves_with_path(s1.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-7,
+            err_msg=f"param {jax.tree_util.keystr(path)}",
+        )
