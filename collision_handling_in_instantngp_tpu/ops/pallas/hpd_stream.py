@@ -357,7 +357,7 @@ def _online_topk_sweep(h_ref, w_ref, b_ref, cache_scr, mh_scr, k, lane_tile,
         m_new = jnp.maximum(m_run, tile_max)
         e = jnp.exp(logits - m_new)                            # (R, TT)
         cache_scr[:, tile] = e
-        mh_scr[:, j] = m_new[:, 0]
+        mh_scr[:, j : j + 1] = m_new
         s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(
             e, axis=-1, keepdims=True
         )
