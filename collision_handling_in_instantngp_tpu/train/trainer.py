@@ -99,6 +99,7 @@ def fit(
     progress: bool = False,
     epoch_span: int = 1,
     epoch_fn_cache: Optional[EpochFnCache] = None,
+    compact_dedup: bool = True,
 ) -> FitResult:
     """Train one configuration to convergence (reference functions.py:540-814).
 
@@ -129,6 +130,7 @@ def fit(
     batches = build_epoch_batches(
         data.coords, data.targets, tcfg.batch_fraction, shuffled,
         og_image=data.image, model_cfg=mcfg, statics=statics,
+        compact_dedup=compact_dedup,
     )
 
     freeze_hpd = hpd_weights_path is not None

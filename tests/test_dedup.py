@@ -654,3 +654,46 @@ def test_epoch_parity_cell_table_gather(rng):
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8,
             err_msg=f"param {jax.tree_util.keystr(pa)}",
         )
+
+
+def test_fit_histograms_with_compaction(rng):
+    """fit() with active-vertex compaction engaged and histogram epochs:
+    the per-row selected-slot indices (take(idx_u, compact ids)) feeding the
+    histogram statistics must match the uncompacted run exactly."""
+    import dataclasses as dc
+
+    from collision_handling_in_instantngp_tpu.data import ImageData
+    from collision_handling_in_instantngp_tpu.train.trainer import fit
+
+    h, w = 24, 20
+    img = np.random.default_rng(3).integers(0, 256, size=(h, w, 3))
+    data = ImageData(
+        coords=(
+            np.stack(
+                np.meshgrid(np.arange(h), np.arange(w), indexing="ij"), -1
+            ).reshape(-1, 2).astype(np.float32) / (max(h, w) - 1)
+        ),
+        targets=(img.reshape(-1, 3) / 255.0).astype(np.float32),
+        height=h, width=w, image=img.astype(np.int64), name="t.png",
+    )
+    exp = experiment_from_grid_id(4061)
+    model = _cfg()   # n_max=32: a 1/3 batch of 160 pixels touches < 85%
+    train = dc.replace(
+        exp.train, epochs=6, histograms_rate=3, save_params=False
+    )
+    exp = dc.replace(exp, model=model, train=train)
+
+    hists = {}
+    for compact in (True, False):
+        res = fit(
+            exp, data, verbose=False, compact_dedup=compact,
+        )
+        hists[compact] = res.history
+    for a, b in zip(hists[True], hists[False]):
+        for k in a:
+            if k.startswith("hist_") or k.startswith("counts_"):
+                np.testing.assert_array_equal(
+                    np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+                )
+            elif isinstance(a[k], (int, float)):
+                np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-7)
