@@ -403,26 +403,7 @@ def _gather_rows_cells_bwd(n_ls, side, res, g):
         ci, cj = jnp.divmod(base, side)
         cell = ci * c_l + cj                          # (P,) local cell id
         gl = g[:, li].reshape(p, v * f)               # (P, V*F)
-
-        chunk = max(256, min(p, _CELL_CHUNK_BUDGET // max(c_l * c_l, 1)))
-        pad = (-p) % chunk
-        cell_pad = jnp.pad(cell, (0, pad), constant_values=-1)
-        gl_pad = jnp.pad(gl, ((0, pad), (0, 0)))
-        c = cell_pad.shape[0] // chunk
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, c_l * c_l), 1)
-
-        def body(acc, xs):
-            cell_chunk, g_chunk = xs
-            onehot = (cell_chunk[:, None] == cols).astype(g_chunk.dtype)
-            return acc + jnp.einsum(
-                "rc,rk->ck", onehot, g_chunk, precision="highest"
-            ), None
-
-        s, _ = jax.lax.scan(
-            body,
-            jnp.zeros((c_l * c_l, v * f), g.dtype),
-            (cell_pad.reshape(c, chunk), gl_pad.reshape(c, chunk, v * f)),
-        )
+        s = _cell_segment_sum(cell, gl, c_l * c_l)
         s = s.reshape(c_l, c_l, v, f)
         # scatter the V corner contributions by static grid shifts
         acc = jnp.zeros((s_l, s_l, f), g.dtype)
@@ -463,9 +444,43 @@ def _gather_rows_cells_compact_fwd(per_level_table, ids_local, active, base,
     )
 
 
+def _cell_segment_sum(cell, gl, num_cells):
+    """Per-level segment-sum of (P, V*F) row grads by (P,) cell id.
+
+    Two regimes: the chunked one-hot MXU contraction (cost ~ P * cells) wins
+    when rows dominate, but at scaled fine levels rows << cells (57K pixel
+    rows vs 263K cells at n_l=512) and the one-hot materializes a
+    (chunk, cells) fp32 operand per scan step (~270 MB at the finest level)
+    — there a plain scatter-add (cost ~ rows; TPU scatters execute
+    sequentially, so it is deterministic) is the cheaper transpose."""
+    p, vf = gl.shape
+    if p < num_cells // 4:
+        return jnp.zeros((num_cells, vf), gl.dtype).at[cell].add(gl)
+    chunk = max(256, min(p, _CELL_CHUNK_BUDGET // max(num_cells, 1)))
+    pad = (-p) % chunk
+    cell_pad = jnp.pad(cell, (0, pad), constant_values=-1)
+    gl_pad = jnp.pad(gl, ((0, pad), (0, 0)))
+    c = cell_pad.shape[0] // chunk
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, num_cells), 1)
+
+    def body(acc, xs):
+        cell_chunk, g_chunk = xs
+        onehot = (cell_chunk[:, None] == cols).astype(g_chunk.dtype)
+        return acc + jnp.einsum(
+            "rc,rk->ck", onehot, g_chunk, precision="highest"
+        ), None
+
+    s, _ = jax.lax.scan(
+        body,
+        jnp.zeros((num_cells, vf), gl.dtype),
+        (cell_pad.reshape(c, chunk), gl_pad.reshape(c, chunk, vf)),
+    )
+    return s
+
+
 def _cells_compact_grad(n_ls, side, active, base, g):
-    """Same cell-structured one-hot segment-sum as _gather_rows_cells_bwd —
-    the per-level (s_l, s_l) vertex grid is built identically — but the final
+    """Same cell-structured segment-sum as _gather_rows_cells_bwd — the
+    per-level (s_l, s_l) vertex grid is built identically — but the final
     map lands on the COMPACT rows: each active global id (i, j) reads its
     level-local vertex cell, and -1 padding rows are masked to zero so the
     duplicate-of-row-0 padding never double-counts gradient. Shared by the
@@ -486,26 +501,7 @@ def _cells_compact_grad(n_ls, side, active, base, g):
         ci, cj = jnp.divmod(base[:, li], side)
         cell = ci * c_l + cj                                 # (P,)
         gl = g[:, li].reshape(p, v * f)
-
-        chunk = max(256, min(p, _CELL_CHUNK_BUDGET // max(c_l * c_l, 1)))
-        pad = (-p) % chunk
-        cell_pad = jnp.pad(cell, (0, pad), constant_values=-1)
-        gl_pad = jnp.pad(gl, ((0, pad), (0, 0)))
-        c = cell_pad.shape[0] // chunk
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, c_l * c_l), 1)
-
-        def body(acc, xs):
-            cell_chunk, g_chunk = xs
-            onehot = (cell_chunk[:, None] == cols).astype(g_chunk.dtype)
-            return acc + jnp.einsum(
-                "rc,rk->ck", onehot, g_chunk, precision="highest"
-            ), None
-
-        s, _ = jax.lax.scan(
-            body,
-            jnp.zeros((c_l * c_l, v * f), g.dtype),
-            (cell_pad.reshape(c, chunk), gl_pad.reshape(c, chunk, v * f)),
-        )
+        s = _cell_segment_sum(cell, gl, c_l * c_l)
         s = s.reshape(c_l, c_l, v, f)
         acc = jnp.zeros((s_l, s_l, f), g.dtype)
         for vi in range(v):
