@@ -697,3 +697,42 @@ def test_fit_histograms_with_compaction(rng):
                 )
             elif isinstance(a[k], (int, float)):
                 np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-7)
+
+
+def test_cells_backward_scatter_regime(rng):
+    """Few pixel rows vs many cells (the scaled fine-level regime): the
+    scatter-add segment-sum branch must equal the one-hot fallback."""
+    from collision_handling_in_instantngp_tpu.models import encoding as enc
+
+    cfg = _cfg(n_max=64)   # finest cell grid 65^2 = 4225 >> 4*p
+    statics = gngf.make_statics(cfg)
+    side = dedup_ops.grid_side(cfg.n_max)
+    u = side * side
+    p = 37
+    coords = np.asarray(_coords(rng, p))
+    ids_np, _ = dedup_ops.build_geometry_np(
+        coords, statics.n_ls, statics.offsets, cfg.n_max
+    )
+    # confirm the scatter branch actually engages at the finest level
+    assert p < (int(statics.n_ls[-1]) + 1) ** 2 // 4
+    ids = jnp.asarray(ids_np)
+    cell_info = (tuple(int(n) for n in statics.n_ls), side)
+    table = jnp.asarray(
+        rng.standard_normal((cfg.num_levels, u, cfg.feature_dim)).astype(
+            np.float32
+        )
+    )
+    cot = jnp.asarray(
+        rng.standard_normal(
+            (p, cfg.num_levels, 4, cfg.feature_dim)
+        ).astype(np.float32)
+    )
+    out_c, vjp_c = jax.vjp(
+        lambda t: enc.gather_rows(t, ids, cell_info=cell_info), table
+    )
+    out_oh, vjp_oh = jax.vjp(lambda t: enc.gather_rows(t, ids), table)
+    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_oh))
+    np.testing.assert_allclose(
+        np.asarray(vjp_c(cot)[0]), np.asarray(vjp_oh(cot)[0]),
+        rtol=1e-5, atol=1e-6,
+    )
