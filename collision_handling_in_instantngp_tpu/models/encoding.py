@@ -452,9 +452,13 @@ def _cell_segment_sum(cell, gl, num_cells):
     rows vs 263K cells at n_l=512) and the one-hot materializes a
     (chunk, cells) fp32 operand per scan step (~270 MB at the finest level)
     — there a plain scatter-add (cost ~ rows; TPU scatters execute
-    sequentially, so it is deterministic) is the cheaper transpose."""
+    sequentially, so it is deterministic) is the cheaper transpose. Scatter
+    cost is ~7.5 ns/row (ops/collisions.py measurement: ~30 ms per 4M rows),
+    so past a one-hot operand of (chunk, 32K) the scatter wins regardless of
+    the row count; the flagship's small grids (<= 33^2 cells) stay on the
+    MXU one-hot, which measures faster there."""
     p, vf = gl.shape
-    if p < num_cells // 4:
+    if p < num_cells // 4 or num_cells > 32768:
         return jnp.zeros((num_cells, vf), gl.dtype).at[cell].add(gl)
     chunk = max(256, min(p, _CELL_CHUNK_BUDGET // max(num_cells, 1)))
     pad = (-p) % chunk
