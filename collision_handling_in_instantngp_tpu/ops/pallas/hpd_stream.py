@@ -70,6 +70,14 @@ def _pad_rows_2d(x: jnp.ndarray, block: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
 
 
+def _kernel_precision(precision: str) -> str:
+    """Mosaic lowers only DEFAULT/HIGHEST dot precisions; XLA's 'high'
+    (3-pass bf16) has no kernel lowering, so round it UP to 'highest' —
+    the kernel dots stay at least as accurate as the caller asked for
+    (the non-kernel matmuls in the same program still run at 'high')."""
+    return "highest" if precision == "high" else precision
+
+
 def _select_kernel(
     h_ref, w_ref, b_ref,
     vals_ref, idx_ref, m_ref, s_ref,
@@ -141,6 +149,7 @@ def hpd_stream_select(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """h: (U, H), w: (H, T), b: (T,) ->
     (vals (U, K), idx (U, K), m (U, 1), s (U, 1))."""
+    precision = _kernel_precision(precision)
     u, hd = h.shape
     t = w.shape[1]
     h_pad = _pad_rows_2d(h, BLOCK_ROWS)
@@ -237,6 +246,7 @@ def hpd_stream_marginal(
 
     Padded rows (to the row-block multiple) carry zero counts, so they
     contribute nothing; L is padded to the sublane multiple and sliced."""
+    precision = _kernel_precision(precision)
     u, hd = h.shape
     t = w.shape[1]
     l = counts.shape[0]
@@ -428,6 +438,7 @@ def hpd_stream_fused_fwd(
 ):
     """One-matmul-per-row-block forward: returns
     (marginal_raw (L, T), vals (U, K), idx (U, K), m (U, 1), s (U, 1))."""
+    precision = _kernel_precision(precision)
     u, hd = h.shape
     t = w.shape[1]
     l = counts.shape[0]
@@ -575,6 +586,7 @@ def hpd_stream_fused_bwd(
 ):
     """One-matmul-per-row-block backward (replaces the B1+B2 pair):
     returns (dh (U, H), dw (H, T), db (T,))."""
+    precision = _kernel_precision(precision)
     u, hd = h.shape
     t = w.shape[1]
     l = counts.shape[0]
@@ -785,6 +797,7 @@ def hpd_tail_unique_pallas_bwd(
     interpret: bool = False,
 ):
     """Returns (dh (U, H), dw (H, T), db (T,)) — see module docstring."""
+    precision = _kernel_precision(precision)
     u, hd = h.shape
     t = w.shape[1]
     l = counts.shape[0]

@@ -25,15 +25,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _timeit(fn, *args, reps=5):
     import jax
 
-    out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: None, jax.device_get(jax.tree_util.tree_leaves(out)[0])
-    )
+    def _drain(out):
+        # axon tunnel: force device->host transfers to drain. EVERY leaf —
+        # draining only the first leaf lets the rest of the program trail
+        # into the next measurement (observed as a "negative backward").
+        for leaf in jax.tree_util.tree_leaves(out):
+            jax.device_get(leaf)
+
+    _drain(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    # axon tunnel: force a device->host transfer to drain
-    float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+    _drain(out)
     return (time.perf_counter() - t0) / reps
 
 
