@@ -52,7 +52,10 @@ def main() -> None:
         help="Override matmul precision ('default' = fast single-pass "
              "bf16-multiply MXU path, 'high' = 3-pass bf16 (~fp32 "
              "accuracy at ~2x the MXU rate); the headline metric uses "
-             "the config's fp32 'highest').",
+             "the config's fp32 'highest'). NOTE: the Pallas HPD kernels "
+             "round 'high' up to 'highest' (Mosaic has no HIGH dot "
+             "lowering) — under --mode scaled, 'high' measures mixed "
+             "high/highest dots.",
     )
     args = ap.parse_args()
 
@@ -162,11 +165,18 @@ def main() -> None:
         "vanilla": "vanilla_hash_train_throughput_strawberry",
         "scaled": "scaled_T16k_L16_train_throughput_strawberry",
     }
+    # span/mode/precision make BENCH_r*.json self-describing — BENCH_r01
+    # measured span=1 and BENCH_r02 span=10, so cross-round comparisons need
+    # the measurement mode recorded in the artifact itself (VERDICT r2 #7/#9)
     print(json.dumps({
         "metric": metric_names[args.mode],
         "value": round(pixels_per_s_per_chip, 1),
         "unit": "pixels/s/chip",
         "vs_baseline": round(vs_baseline, 4),
+        "mode": args.mode,
+        "span": span,
+        "precision": exp.model.matmul_precision,
+        "batch_fraction": round(exp.train.batch_fraction, 6),
     }))
 
 

@@ -70,12 +70,49 @@ def _pad_rows_2d(x: jnp.ndarray, block: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
 
 
-def _kernel_precision(precision: str) -> str:
+_warned_high_precision = False
+
+
+def _kernel_precision(precision) -> str:
     """Mosaic lowers only DEFAULT/HIGHEST dot precisions; XLA's 'high'
     (3-pass bf16) has no kernel lowering, so round it UP to 'highest' —
     the kernel dots stay at least as accurate as the caller asked for
-    (the non-kernel matmuls in the same program still run at 'high')."""
-    return "highest" if precision == "high" else precision
+    (the non-kernel matmuls in the same program still run at 'high').
+
+    Accepts any form jax.lax canonicalizes — string, Precision enum, or an
+    (lhs, rhs) pair — so an enum caller can't slip 'HIGH' past the mapping
+    into the Mosaic lowering crash (hw_session_20260818_224639.log:28-46).
+    Warns once on the high->highest rounding so a high-vs-highest precision
+    ablation isn't silently measuring identical kernels."""
+    if precision is None:
+        return "highest"
+    import jax
+
+    if isinstance(precision, (tuple, list)):
+        # pallas dots take one precision; keep the more accurate side
+        canon = max(
+            (jax.lax.Precision(p) for p in precision),
+            key=lambda p: p.value,
+        )
+    else:
+        canon = jax.lax.Precision(precision)
+    if canon == jax.lax.Precision.HIGH:
+        global _warned_high_precision
+        if not _warned_high_precision:
+            _warned_high_precision = True
+            import warnings
+
+            warnings.warn(
+                "Pallas HPD kernels round matmul precision 'high' up to "
+                "'highest' (Mosaic has no HIGH dot lowering); non-kernel "
+                "matmuls in the same program still run at 'high'.",
+                stacklevel=3,
+            )
+        return "highest"
+    return {
+        jax.lax.Precision.DEFAULT: "default",
+        jax.lax.Precision.HIGHEST: "highest",
+    }[canon]
 
 
 def _select_kernel(

@@ -297,6 +297,68 @@ def build_epoch_batches(
     )
 
 
+def stack_epoch_batches(batches_list) -> EpochBatches:
+    """Stack per-member EpochBatches on a leading ensemble axis (trainer
+    fit_ensemble with per-member pixel shuffles).
+
+    Members share all dense shapes (same image, same batch_fraction); only
+    the COMPACTED dedup geometry can disagree — each member's shuffle touches
+    a different number of grid vertices/cells, so U_c_pad / C_l_pad differ.
+    Those are padded up to the ensemble max with their existing pad
+    conventions (counts 0, active -1, cell corner rows 0 — padded rows are
+    never indexed), which leaves every member's geometry semantically
+    unchanged. Mixed compaction engagement across members is a caller error
+    (build all members with the same compact_dedup flag)."""
+    ref = batches_list[0]
+    n = len(batches_list)
+    if n == 1:
+        return jax.tree_util.tree_map(lambda x: x[None], ref)
+    for b in batches_list[1:]:
+        assert (b.dedup_active is None) == (ref.dedup_active is None), (
+            "mixed compaction engagement across ensemble members"
+        )
+        assert (b.dedup_ids is None) == (ref.dedup_ids is None)
+
+    def pad_axis(arrs, axis, fill):
+        m = max(a.shape[axis] for a in arrs)
+        out = []
+        for a in arrs:
+            d = m - a.shape[axis]
+            if d:
+                pad = [(0, 0)] * a.ndim
+                pad[axis] = (0, d)
+                a = jnp.pad(a, pad, constant_values=fill)
+            out.append(a)
+        return jnp.stack(out)
+
+    def plain(field):
+        vals = [getattr(b, field) for b in batches_list]
+        return jnp.stack(vals) if vals[0] is not None else None
+
+    counts = active = cells = None
+    if ref.dedup_counts is not None:
+        counts = pad_axis([b.dedup_counts for b in batches_list], 2, 0.0)
+    if ref.dedup_active is not None:
+        active = pad_axis([b.dedup_active for b in batches_list], 1, -1)
+    if ref.dedup_cell_corners is not None:
+        cells = tuple(
+            pad_axis([b.dedup_cell_corners[l] for b in batches_list], 1, 0)
+            for l in range(len(ref.dedup_cell_corners))
+        )
+    return EpochBatches(
+        x=plain("x"), y=plain("y"), valid=plain("valid"),
+        scatter_idx=plain("scatter_idx"), gather_idx=plain("gather_idx"),
+        og_image=plain("og_image"),
+        dedup_ids=plain("dedup_ids"),
+        dedup_counts=counts,
+        dedup_rev=None,
+        dedup_active=active,
+        dedup_base=plain("dedup_base"),
+        dedup_cell_corners=cells,
+        dedup_pixel_cell=plain("dedup_pixel_cell"),
+    )
+
+
 def make_epoch_fn(
     exp: ExperimentConfig,
     statics: gngf.GNGFStatics,
@@ -495,6 +557,8 @@ def make_epoch_fn(
         num_pixels: int,
         span: Optional[int] = None,
         ensemble: bool = False,
+        track_best: bool = False,
+        per_member_batches: bool = False,
     ):
         """span=None: one device call per epoch (exact reference cadence).
         span=S: ONE device call executes S epochs via lax.scan and returns
@@ -504,13 +568,28 @@ def make_epoch_fn(
         model (the reference pays ~10 host syncs per epoch,
         functions.py:247-267; we pay ~1 per S epochs).
 
+        track_best=True (span mode only): the scan carries the span's
+        BEST-PSNR snapshot on device — (best_int_sq_err, (params, opt_state,
+        bn_state)) selected by int_sq_err (PSNR is monotonically decreasing
+        in it; ties go to the later epoch, matching the trainer's ``>=``) —
+        and the call returns it as a 5th element. This lets span>1 / ensemble
+        fits checkpoint the EXACT best epoch like the reference's best-PSNR
+        checkpointing (functions.py:761-781) instead of the span end.
+
         ensemble=True (requires dynamic_hypers): state and hypers carry a
         leading ENSEMBLE axis — E same-shape grid configs train side by side
         in one program (vmap over params/optimizer state/hyper-params, the
         pixel batches shared). The ~58K-param models leave the MXU idle when
         run one-at-a-time; batching configs multiplies grid-search throughput
         per chip (SURVEY §2.4 "vmapped small-model ensembles"). Returns carry
-        the ensemble axis on every metric (span mode: (S, E, ...))."""
+        the ensemble axis on every metric (span mode: (S, E, ...)). The span
+        form takes a per-member ``active`` bool mask: inactive (early-
+        stopped) members keep their state/best frozen so extra span epochs
+        don't keep training them past their stop epoch.
+
+        per_member_batches=True (ensemble only): ``batches`` carries a
+        leading ensemble axis on every field — each member trains on its OWN
+        pixel shuffle (per-member seeds, trainer.fit_ensemble)."""
         if ensemble:
             assert dynamic_hypers, "ensemble mode requires dynamic_hypers"
 
@@ -520,28 +599,73 @@ def make_epoch_fn(
                     hypers=hypers, collect_indices=False,
                 )
 
-            vstep = jax.vmap(pos_step, in_axes=(0, None, 0))
+            batch_axes = 0 if per_member_batches else None
+            vstep = jax.vmap(pos_step, in_axes=(0, batch_axes, 0))
             if span is None:
                 return jax.jit(vstep)
 
-            def vmulti(state: TrainState, batches: EpochBatches, hypers):
+            def vmulti(
+                state: TrainState, batches: EpochBatches, hypers,
+                active=None, valid_epochs=None,
+            ):
+                """active: (E,) bool — False freezes that member (early
+                stop). valid_epochs: scalar — epochs >= it are discarded
+                entirely (the span length is static, so a run whose remaining
+                epoch budget is smaller than the span would otherwise
+                overtrain past its budget AND contaminate the best
+                snapshot)."""
                 _, m_shape, _ = jax.eval_shape(vstep, state, batches, hypers)
                 img0 = jnp.zeros(m_shape.image.shape, m_shape.image.dtype)
+                e_count = m_shape.loss.shape[0]
+                if active is None:
+                    active = jnp.ones((e_count,), jnp.bool_)
+                if valid_epochs is None:
+                    valid_epochs = jnp.asarray(span, jnp.int32)
 
-                def body(carry, _):
-                    st, _ = carry
+                def sel(mask):
+                    # per-member select with the mask broadcast over the
+                    # member's trailing axes
+                    def f(new, old):
+                        m = mask.reshape((e_count,) + (1,) * (new.ndim - 1))
+                        return jnp.where(m, new, old)
+                    return f
+
+                def body(carry, i):
+                    st, _, best = carry
                     st2, m, _ = vstep(st, batches, hypers)
+                    live = active & (i < valid_epochs)
+                    # frozen members / overrun epochs: discard the update
+                    st2 = jax.tree_util.tree_map(sel(live), st2, st)
                     scal = SpanMetrics(
                         m.loss, m.mse, m.js_kl_per_level,
                         m.coll_loss_per_level, m.collisions, m.min_possible,
                         m.int_sq_err, m.match_count,
                     )
-                    return (st2, m.image), scal
+                    if track_best:
+                        best_err, best_tree = best
+                        better = live & (m.int_sq_err <= best_err)
+                        best_tree = jax.tree_util.tree_map(
+                            sel(better),
+                            (st2.params, st2.opt_state, st2.bn_state),
+                            best_tree,
+                        )
+                        best = (
+                            jnp.where(better, m.int_sq_err, best_err),
+                            best_tree,
+                        )
+                    return (st2, m.image, best), scal
 
-                (st, img), scal = jax.lax.scan(
-                    body, (state, img0), None, length=span
+                best0 = (
+                    jnp.full((e_count,), jnp.inf, jnp.float32),
+                    (state.params, state.opt_state, state.bn_state),
+                )
+                (st, img, best), scal = jax.lax.scan(
+                    body, (state, img0, best0),
+                    jnp.arange(span, dtype=jnp.int32),
                 )
                 # (S, E, ...) metrics; last epoch's (E, P, C) images
+                if track_best:
+                    return st, scal, img, jnp.zeros((0,), jnp.int32), best
                 return st, scal, img, jnp.zeros((0,), jnp.int32)
 
             return jax.jit(vmulti)
@@ -563,17 +687,33 @@ def make_epoch_fn(
             idx0 = jnp.zeros(idx_shape.shape, idx_shape.dtype)
 
             def body(carry, _):
-                st, _, _ = carry
+                st, _, _, best = carry
                 st2, m, idx = step_span(st, batches)
                 scal = SpanMetrics(
                     m.loss, m.mse, m.js_kl_per_level, m.coll_loss_per_level,
                     m.collisions, m.min_possible, m.int_sq_err, m.match_count,
                 )
-                return (st2, m.image, idx), scal
+                if track_best:
+                    best_err, best_tree = best
+                    better = m.int_sq_err <= best_err
+                    best_tree = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(better, new, old),
+                        (st2.params, st2.opt_state, st2.bn_state), best_tree,
+                    )
+                    best = (
+                        jnp.where(better, m.int_sq_err, best_err), best_tree
+                    )
+                return (st2, m.image, idx, best), scal
 
-            (st, img, idx), scal = jax.lax.scan(
-                body, (state, img0, idx0), None, length=span
+            best0 = (
+                jnp.asarray(jnp.inf, jnp.float32),
+                (state.params, state.opt_state, state.bn_state),
             )
+            (st, img, idx, best), scal = jax.lax.scan(
+                body, (state, img0, idx0, best0), None, length=span
+            )
+            if track_best:
+                return st, scal, img, idx, best
             return st, scal, img, idx
 
         return jax.jit(multi)

@@ -35,6 +35,7 @@ from .train_step import (
     build_epoch_batches,
     make_epoch_fn,
     make_stats_fn,
+    stack_epoch_batches,
 )
 
 
@@ -100,6 +101,7 @@ def fit(
     epoch_span: int = 1,
     epoch_fn_cache: Optional[EpochFnCache] = None,
     compact_dedup: bool = True,
+    log_image_every: Optional[int] = None,
 ) -> FitResult:
     """Train one configuration to convergence (reference functions.py:540-814).
 
@@ -112,13 +114,19 @@ def fit(
     dominates wall-clock for these tiny models. Logging cadence, PSNR/best
     tracking, early stopping and the zero-collision abort all still evaluate
     PER EPOCH from the stacked scalars; histogram ("counts") epochs always run
-    as singleton calls so their indices/image come from the right epoch. Two
-    documented divergences from span=1: (a) if a stop condition fires at epoch
-    j inside a span, up to S-1 further epochs have already executed on device
-    (epochs_run/metrics reflect the stop epoch; the returned state reflects
-    the span end), and (b) best-PSNR checkpoints snapshot the span-end params
-    rather than the exact best epoch's. Use span=1 for exact reference
-    cadence."""
+    as singleton calls so their indices/image come from the right epoch, and
+    best-PSNR checkpoints are EXACT at any span (the span program carries the
+    best-epoch params snapshot on device, train_step make_jitted
+    track_best). One documented divergence from span=1 remains: if a stop
+    condition fires at epoch j inside a span, up to S-1 further epochs have
+    already executed on device (epochs_run/metrics reflect the stop epoch;
+    the returned state reflects the span end). Use span=1 for exact
+    reference cadence.
+
+    log_image_every=N logs the reconstructed ``train_image`` every N epochs
+    (the reference logs it EVERY epoch, functions.py:718-721; pass 1 for that
+    cadence — those epochs run as singleton device calls so the image is
+    exact, so log_image_every=1 also forfeits span amortization)."""
     logger = logger or NullLogger()
     tcfg, mcfg, lcfg = exp.train, exp.model, exp.loss
     epochs = epochs if epochs is not None else tcfg.epochs
@@ -176,7 +184,12 @@ def fit(
     def get_jitted(span_n):
         fn = jitted_fns.get(span_n)
         if fn is None:
-            fn = make_jitted(tx, data.num_pixels, span=span_n)
+            # span programs carry the best-epoch snapshot on device so
+            # best-PSNR checkpoints are exact at any span
+            fn = make_jitted(
+                tx, data.num_pixels, span=span_n,
+                track_best=span_n is not None,
+            )
             jitted_fns[span_n] = fn
         return fn
 
@@ -215,21 +228,27 @@ def fit(
         return get_jitted(n)(st, batches, hypers=hypers)
 
     rate = tcfg.histograms_rate
+    img_rate = log_image_every
     last_image_dev = None
     stop_now = False
     e = 0
     while e < epochs and not stop_now:
-        # counts (histogram) epochs and the final epoch run as singleton
-        # calls so their indices/image belong to exactly that epoch; other
-        # epochs batch up to epoch_span per device call
+        # counts (histogram) epochs, image-logging epochs, and the final
+        # epoch run as singleton calls so their indices/image belong to
+        # exactly that epoch; other epochs batch up to epoch_span per
+        # device call
         if (
             epoch_span <= 1 or e % rate == 0 or e >= epochs - 1
             or early_stopper.early_stop
+            or (img_rate is not None and e % img_rate == 0)
         ):
             n = 1
         else:
             next_count = ((e // rate) + 1) * rate
             n = max(1, min(epoch_span, next_count - e, (epochs - 1) - e))
+            if img_rate is not None:
+                next_img = ((e // img_rate) + 1) * img_rate
+                n = max(1, min(n, next_img - e))
 
         if n == 1:
             state, metrics, indices_all = epoch_fn(
@@ -250,8 +269,11 @@ def fit(
                 )
             )
             last_image_dev = metrics.image
+            best_dev = None
         else:
-            state, smetrics, last_image_dev, indices_all = run_span(state, n)
+            state, smetrics, last_image_dev, indices_all, best_dev = run_span(
+                state, n
+            )
             scal = tuple(np.asarray(v) for v in jax.device_get(tuple(smetrics)))
         (
             losses, mses, js_kls, coll_losses, collisions_arr,
@@ -344,6 +366,19 @@ def fit(
                     for l, fig in enumerate(figs):
                         log[f"hist_counts_level{l}"] = fig
 
+            if (
+                img_rate is not None
+                and ep % img_rate == 0
+                and "train_image" not in log
+                and not isinstance(logger, NullLogger)
+            ):
+                # reference every-epoch train_image cadence on request
+                # (functions.py:718-721); these epochs were scheduled as
+                # singleton calls above, so last_image_dev is this epoch's
+                log["train_image"] = to_uint8_image(
+                    np.asarray(last_image_dev), data.height, data.width,
+                    data.channels,
+                )
             logger.log(log, step=ep)
             if collect_history:
                 history.append(
@@ -356,11 +391,13 @@ def fit(
             if train_psnr >= best_psnr:
                 best_psnr = train_psnr
                 if tcfg.save_params and run_dir is not None:
-                    # keep the best state on device; throttle disk writes
-                    # (span>1: this snapshots the span-end params, see
-                    # docstring)
+                    # keep the best state on device; throttle disk writes.
+                    # span calls: the device-tracked snapshot is the span's
+                    # exact best epoch (its min int_sq_err is this j's value
+                    # whenever this branch last fires within the span)
                     best_snapshot = (
-                        state.params, state.opt_state, state.bn_state
+                        best_dev[1] if best_dev is not None
+                        else (state.params, state.opt_state, state.bn_state)
                     )
                     now = time.monotonic()
                     if now - last_ckpt_write >= tcfg.checkpoint_min_interval_s:
@@ -414,6 +451,7 @@ def fit_ensemble(
     loggers: Optional[List[MetricLogger]] = None,
     run_names: Optional[List[str]] = None,
     verbose: bool = False,
+    per_member_shuffle: bool = True,
 ) -> List[FitResult]:
     """Train E SAME-SHAPE configs simultaneously in one vmapped program
     (SURVEY §2.4 "vmapped small-model ensembles per chip").
@@ -427,15 +465,17 @@ def fit_ensemble(
     hyper-scalars, identical batch_fraction). Semantics vs per-config fit():
     per-epoch scalar metrics, best-PSNR tracking, early stopping and the
     zero-collision abort are evaluated PER CONFIG on the host from the
-    stacked metrics (a stopped config's metrics freeze at its stop epoch but
-    its lane keeps computing until the whole group finishes — wasted FLOPs,
-    not wrong results); histogram statistics and media logging are not
-    emitted (use fit() for those); checkpoints save each config's FINAL
-    params (fit() preserves exact best-epoch checkpoints); the pixel SHUFFLE
-    comes from exps[0].train.seed for the whole group (the batches are
-    broadcast across the vmap), so per-config seeds vary the parameter INIT
-    only — a config whose seed equals exps[0]'s reproduces its solo fit()
-    run exactly.
+    stacked metrics; a member that early-stops is FROZEN on device from the
+    next span boundary (up to epoch_span-1 extra epochs can execute before
+    the host sees the stop — their metrics are ignored and the frozen state
+    discards them); checkpoints save each config's BEST-PSNR params (the
+    span program carries per-member best snapshots on device, train_step
+    make_jitted track_best), like solo fit(); histogram statistics and media
+    logging are not emitted (use fit() for those). per_member_shuffle=True
+    (default) gives every member its OWN pixel shuffle from its train.seed —
+    a member then reproduces its solo fit() run's batching exactly; False
+    broadcasts exps[0]'s shuffle to the whole group (round-2 behavior,
+    smaller device footprint).
     """
     e_count = len(exps)
     assert e_count >= 1
@@ -448,13 +488,22 @@ def fit_ensemble(
     loggers = loggers or [NullLogger() for _ in exps]
 
     statics = gngf.make_statics(base.model)
-    shuffled, _ = make_shuffle_permutations(
-        data.num_pixels, tcfg.seed, tcfg.shuffle_pixels
-    )
-    batches = build_epoch_batches(
-        data.coords, data.targets, tcfg.batch_fraction, shuffled,
-        og_image=data.image, model_cfg=base.model, statics=statics,
-    )
+    seeds = [e.train.seed for e in exps]
+    per_member = per_member_shuffle and len(set(seeds)) > 1
+
+    def build_for(seed):
+        shuffled, _ = make_shuffle_permutations(
+            data.num_pixels, seed, tcfg.shuffle_pixels
+        )
+        return build_epoch_batches(
+            data.coords, data.targets, tcfg.batch_fraction, shuffled,
+            og_image=data.image, model_cfg=base.model, statics=statics,
+        )
+
+    if per_member:
+        batches = stack_epoch_batches([build_for(s) for s in seeds])
+    else:
+        batches = build_for(tcfg.seed)
     init_state, make_jitted = make_epoch_fn(
         base, statics, dynamic_hypers=True
     )
@@ -468,7 +517,8 @@ def fit_ensemble(
         *[HyperParams.from_exp(e) for e in exps],
     )
     span_fn = make_jitted(
-        tx, data.num_pixels, span=max(1, epoch_span), ensemble=True
+        tx, data.num_pixels, span=max(1, epoch_span), ensemble=True,
+        track_best=True, per_member_batches=per_member,
     )
 
     og_max = float(np.max(data.image))
@@ -485,10 +535,38 @@ def fit_ensemble(
         {"psnr": float("nan"), "loss": float("nan")} for _ in exps
     ]
 
+    # global best across span calls: each call tracks its own span's best on
+    # device (reset to +inf), so the running best is merged per member here
+    import jax.numpy as jnp
+
+    @jax.jit
+    def merge_best(old_err, old_tree, new_err, new_tree):
+        better = new_err <= old_err
+
+        def sel(new, old):
+            m = better.reshape((e_count,) + (1,) * (new.ndim - 1))
+            return jnp.where(m, new, old)
+
+        return (
+            jnp.where(better, new_err, old_err),
+            jax.tree_util.tree_map(sel, new_tree, old_tree),
+        )
+
+    g_best_err = jnp.full((e_count,), jnp.inf, jnp.float32)
+    g_best_tree = (state.params, state.opt_state, state.bn_state)
+
     ep = 0
     while ep < epochs and not all(s.early_stop for s in stoppers):
         n = min(max(1, epoch_span), epochs - ep)
-        state, scal, images, _ = span_fn(state, batches, hypers)
+        active = jnp.asarray(
+            np.array([not s.early_stop for s in stoppers])
+        )
+        state, scal, images, _, span_best = span_fn(
+            state, batches, hypers, active, jnp.asarray(n, jnp.int32)
+        )
+        g_best_err, g_best_tree = merge_best(
+            g_best_err, g_best_tree, span_best[0], span_best[1]
+        )
         vals = jax.device_get(scal)  # each field (S, E, ...)
         for j in range(n):
             for ei, exp in enumerate(exps):
@@ -546,11 +624,14 @@ def fit_ensemble(
             )
             rid = exp.grid_id if exp.grid_id is not None else "run"
             run_dir = os.path.join(exp.train.checkpoint_dir, f"{rid}_{name}")
-            params_e = jax.tree_util.tree_map(lambda x: x[ei], state.params)
-            opt_e = jax.tree_util.tree_map(lambda x: x[ei], state.opt_state)
+            # best-PSNR params (device-tracked), like solo fit() — NOT the
+            # final span-end params
+            b_params, b_opt, b_bn = g_best_tree
+            params_e = jax.tree_util.tree_map(lambda x: x[ei], b_params)
+            opt_e = jax.tree_util.tree_map(lambda x: x[ei], b_opt)
             bn_e = (
-                jax.tree_util.tree_map(lambda x: x[ei], state.bn_state)
-                if state.bn_state is not None
+                jax.tree_util.tree_map(lambda x: x[ei], b_bn)
+                if b_bn is not None
                 else None
             )
             ckpt.save_run_checkpoint(

@@ -60,9 +60,9 @@ def test_ensemble_matches_individual_fits(rng, tmp_path):
 
 def test_ensemble_seed_variation(rng, tmp_path):
     """Same grid id, different seeds: the ensemble axis carries init
-    randomness; the group shares exps[0]'s pixel shuffle (see fit_ensemble
-    docstring), so lane 0 reproduces its solo run exactly and other lanes
-    are genuinely distinct runs."""
+    randomness AND (per_member_shuffle default) each member's own pixel
+    shuffle, so every lane reproduces its solo run exactly and different
+    seeds are genuinely distinct runs."""
     data = _tiny_data(rng)
     base = _exps(tmp_path / "s", ids=[4061, 4061], epochs=5)
     exps = [

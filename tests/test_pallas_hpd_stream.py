@@ -191,3 +191,68 @@ def test_split_kernels_vjp_when_fused_gated_off(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-4, atol=3e-5, err_msg=name
         )
+
+
+def test_kernel_precision_normalization():
+    """Mosaic lowers only DEFAULT/HIGHEST dots; every form of 'high' —
+    string, Precision enum, (lhs, rhs) pair — must round UP to 'highest'
+    instead of reaching the lowering crash
+    (runs/hw_session_20260818_224639.log:28-46)."""
+    import warnings
+
+    P = jax.lax.Precision
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert hpd_stream._kernel_precision("default") == "default"
+        assert hpd_stream._kernel_precision("highest") == "highest"
+        assert hpd_stream._kernel_precision(None) == "highest"
+        assert hpd_stream._kernel_precision("high") == "highest"
+        assert hpd_stream._kernel_precision(P.HIGH) == "highest"
+        assert hpd_stream._kernel_precision(("high", "high")) == "highest"
+        assert hpd_stream._kernel_precision((P.DEFAULT, P.HIGH)) == "highest"
+        assert (
+            hpd_stream._kernel_precision((P.DEFAULT, P.DEFAULT)) == "default"
+        )
+
+
+def test_kernel_precision_high_warns_once():
+    import warnings
+
+    hpd_stream._warned_high_precision = False
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        hpd_stream._kernel_precision("high")
+        hpd_stream._kernel_precision("high")
+    msgs = [w for w in rec if "highest" in str(w.message)]
+    assert len(msgs) == 1
+
+
+def test_entry_points_accept_all_precisions(rng):
+    """Every kernel entry point must accept 'default'/'high'/'highest' and
+    the enum form; interpret mode on CPU proves acceptance (the Mosaic
+    lowering itself is exercised by bench.py --precision high on TPU)."""
+    import warnings
+
+    h, w, b, counts = _setup(rng)
+    gm = jnp.asarray(rng.standard_normal((L, T)).astype(np.float32))
+    gv = jnp.asarray(rng.standard_normal((U, K)).astype(np.float32))
+    for prec in ("default", "high", "highest", jax.lax.Precision.HIGH):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            vals, idx, m, s = hpd_stream.hpd_stream_select(
+                h, w, b, K, precision=prec, interpret=True
+            )
+            hpd_stream.hpd_stream_marginal(
+                h, w, b, counts, m, s, precision=prec, interpret=True
+            )
+            hpd_stream.hpd_stream_fused_fwd(
+                h, w, b, counts, K, precision=prec, interpret=True
+            )
+            hpd_stream.hpd_stream_fused_bwd(
+                h, w, b, counts, idx, vals, m, s, gm, gv, K,
+                precision=prec, interpret=True,
+            )
+            hpd_stream.hpd_tail_unique_pallas_bwd(
+                h, w, b, counts, idx, vals, m, s, gm, gv, K,
+                precision=prec, interpret=True,
+            )

@@ -1,13 +1,18 @@
-"""Forward/backward time split for one training batch on the current device.
+"""Per-stage time split for one training batch on the current device.
 
-Times three jitted programs over a single batch of the chosen config:
+Times each stage as its OWN jitted program whose return value is a single
+scalar probe depending on the whole computation:
   fwd      loss value only
   grad     jax.value_and_grad of the loss
+  update   optimizer update + apply (grads precomputed, NOT in the program)
   step     grad + optimizer update (one scan-body equivalent)
 
-Used to target kernel work: e.g. the scaled config's (T=2^14, L=16) tail —
-how much of the 40K px/s batch lives in the forward select/marginal kernels
-vs the jax streaming backward.
+Timing fetches ONLY the scalar probe: an XLA executable finishes as a unit,
+so materializing one output bounds execution; fetching the full output pytree
+(the old behavior) billed hundreds of per-leaf device->host round-trips over
+the axon tunnel to whichever stage returned the most leaves — `step`'s
+params+opt_state made the optimizer look ~1.8 s/batch when the real epoch was
+291 ms/batch (runs/hw_session_20260818_224639.log:16-24, negative "bwd").
 
 Usage: python tools/ablate_scaled.py [--mode scaled|gngf] [--batch-fraction F]
 """
@@ -23,20 +28,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _timeit(fn, *args, reps=5):
+    """fn must return a SCALAR (or tiny array) probe. Warm up once, queue
+    reps calls (device executions serialize), then drain the LAST probe —
+    total elapsed = reps x execution + one tunnel round-trip, so small stages
+    aren't inflated by per-rep transfer latency."""
     import jax
 
-    def _drain(out):
-        # axon tunnel: force device->host transfers to drain. EVERY leaf —
-        # draining only the first leaf lets the rest of the program trail
-        # into the next measurement (observed as a "negative backward").
-        for leaf in jax.tree_util.tree_leaves(out):
-            jax.device_get(leaf)
-
-    _drain(fn(*args))
+    jax.device_get(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    _drain(out)
+    jax.device_get(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -138,28 +140,54 @@ def main():
         )
         return aux.total
 
+    def _probe(tree):
+        # scalar that depends on every leaf — forces full execution while
+        # keeping the fetched output a single float
+        leaves = jax.tree_util.tree_leaves(tree)
+        return functools.reduce(
+            jnp.add, [jnp.sum(l).astype(jnp.float32) for l in leaves]
+        )
+
     fwd = jax.jit(loss_fn)
-    grad = jax.jit(jax.value_and_grad(loss_fn))
+
+    @jax.jit
+    def grad(params, bx, by):
+        loss, grads = jax.value_and_grad(loss_fn)(params, bx, by)
+        return loss + _probe(grads)
+
+    @jax.jit
+    def update(grads, opt_state, params):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return _probe((new_params, opt_state))
 
     @jax.jit
     def step(params, opt_state, bx, by):
         loss, grads = jax.value_and_grad(loss_fn)(params, bx, by)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return loss + _probe((optax.apply_updates(params, updates), opt_state))
+
+    grads_const = jax.jit(
+        lambda params, bx, by: jax.grad(loss_fn)(params, bx, by)
+    )(params, bx, by)
+    jax.block_until_ready(grads_const)
 
     p = bx.shape[0]
     t_fwd = _timeit(fwd, params, bx, by, reps=args.reps)
     t_grad = _timeit(grad, params, bx, by, reps=args.reps)
+    t_update = _timeit(update, grads_const, opt_state, params, reps=args.reps)
     t_step = _timeit(step, params, opt_state, bx, by, reps=args.reps)
     print(
         f"mode={args.mode} batch_rows={p} device={jax.devices()[0].platform}"
     )
-    print(f"fwd   {t_fwd * 1e3:9.2f} ms/batch")
+    print(f"fwd     {t_fwd * 1e3:9.2f} ms/batch   (loss only)")
+    print(f"grad    {t_grad * 1e3:9.2f} ms/batch   (fwd+bwd)")
+    print(f"update  {t_update * 1e3:9.2f} ms/batch   (optimizer only)")
+    print(f"step    {t_step * 1e3:9.2f} ms/batch   (fwd+bwd+update)")
     print(
-        f"grad  {t_grad * 1e3:9.2f} ms/batch  (bwd ~ {(t_grad - t_fwd) * 1e3:.2f})"
-    )
-    print(
-        f"step  {t_step * 1e3:9.2f} ms/batch  (opt ~ {(t_step - t_grad) * 1e3:.2f})"
+        f"derived: bwd ~ {max(t_grad - t_fwd, 0) * 1e3:.2f} ms, "
+        f"fusion overlap (grad+update-step) ~ "
+        f"{(t_grad + t_update - t_step) * 1e3:.2f} ms"
     )
 
 
