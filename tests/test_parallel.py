@@ -160,3 +160,68 @@ def test_tp_with_compacted_geometry(rng):
             np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-7,
             err_msg=f"param {jax.tree_util.keystr(path)}",
         )
+
+
+def test_tp_scaled_shapes_with_stream_kernels(rng):
+    """Slot-axis TP at the SCALED geometry class with the streaming Pallas
+    HPD-tail kernels active (interpret mode on CPU): T=2^12 tables sharded
+    over the model axis must reproduce the unsharded loss trajectory and
+    updated params. Round-2 TP tests only covered small dense paths
+    (fused_hpd=False); this is the regime the slot-axis TP claim exists for
+    (VERDICT r2 #5)."""
+    import dataclasses
+
+    from collision_handling_in_instantngp_tpu.config import (
+        instantngp_scaled_model,
+    )
+
+    exp = experiment_from_grid_id(4061)
+    model = instantngp_scaled_model(
+        hash_table_size=2**12, num_levels=4, n_min=8, n_max=16,
+        hpd_backend="unique_stream_pallas_interpret",
+    )
+    exp = dataclasses.replace(exp, model=model)
+    statics = gngf.make_statics(model)
+    coords = rng.random((192, 2), dtype=np.float32)
+    img = rng.random((192, 3), dtype=np.float32)
+    perm = rng.permutation(192).astype(np.int32)
+    batches = build_epoch_batches(
+        coords, img, 1 / 3, perm, model_cfg=model, statics=statics
+    )
+    # the scaled kernel path preconditions actually hold on this geometry
+    assert batches.dedup_ids is not None
+
+    init_state, make_jitted = make_epoch_fn(exp, statics)
+    state, tx = init_state(jax.random.PRNGKey(65535))
+    epoch = make_jitted(tx, 192)
+
+    s1 = jax.tree_util.tree_map(lambda x: x, state)
+    losses_ref = []
+    for _ in range(2):
+        s1, m1, _ = epoch(s1, batches)
+        losses_ref.append(float(m1.loss))
+
+    mesh = make_mesh(model_parallel=2)
+    s, b = shard_state_and_batches(state, batches, mesh, shard_tables=True)
+    losses_tp = []
+    for _ in range(2):
+        s, m, _ = epoch(s, b)
+        losses_tp.append(float(m.loss))
+
+    np.testing.assert_allclose(losses_tp, losses_ref, rtol=2e-5)
+    for (path, a), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(s.params),
+        jax.tree_util.tree_leaves_with_path(s1.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-7,
+            err_msg=f"param {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_dryrun_multichip_scaled_mode():
+    """Driver dryrun variant for the scaled geometry class (stream kernels +
+    compaction + TP) — asserts sharded==unsharded loss internally."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(2, mode="scaled")
