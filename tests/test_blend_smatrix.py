@@ -29,8 +29,56 @@ def _setup(rng):
 def smatrix_forced(monkeypatch):
     """Force the S-matrix path (the gate targets u*t at scaled configs)."""
     monkeypatch.setattr(enc, "_BLEND_SMATRIX_MIN_ELEMENTS", 0)
+    monkeypatch.setattr(enc, "BLEND_LARGE_BACKEND", "smatrix")
     # small chunk so the scan takes several steps incl. a padded tail
     monkeypatch.setattr(enc, "_BLEND_CHUNK_BUDGET", 128 * T)
+
+
+@pytest.fixture
+def gather_forced(monkeypatch):
+    """Force the large-regime GATHER path (round-3 default backend: row
+    gather + K-weighted sum fwd, segment-sum table grad bwd)."""
+    monkeypatch.setattr(enc, "_BLEND_SMATRIX_MIN_ELEMENTS", 0)
+    monkeypatch.setattr(enc, "BLEND_LARGE_BACKEND", "gather")
+
+
+def test_gather_backend_forward_matches_oracle(rng, gather_forced):
+    tables, idx, w = _setup(rng)
+    out_gather = enc._blend_core(tables, idx, w)
+    gathered = jnp.take(
+        tables.reshape(L * T, F),
+        idx[:, None, :] + (jnp.arange(L) * T)[None, :, None],
+        axis=0,
+    )                                                          # (U, L, K, F)
+    out_ref = jnp.einsum("ulkf,uk->luf", gathered, w)
+    np.testing.assert_allclose(
+        np.asarray(out_gather), np.asarray(out_ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_gather_backend_vjp_matches_oracle(rng, gather_forced):
+    tables, idx, w = _setup(rng)
+    g = jnp.asarray(rng.standard_normal((L, U, F)).astype(np.float32))
+
+    def loss_custom(tables, w):
+        return jnp.sum(enc._blend_core(tables, idx, w) * g)
+
+    def loss_ref(tables, w):
+        gathered = jnp.take(
+            tables.reshape(L * T, F),
+            idx[:, None, :] + (jnp.arange(L) * T)[None, :, None],
+            axis=0,
+        )
+        return jnp.sum(jnp.einsum("ulkf,uk->luf", gathered, w) * g)
+
+    gt_c, gw_c = jax.grad(loss_custom, argnums=(0, 1))(tables, w)
+    gt_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(tables, w)
+    np.testing.assert_allclose(
+        np.asarray(gt_c), np.asarray(gt_r), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw_c), np.asarray(gw_r), rtol=1e-5, atol=1e-6
+    )
 
 
 def test_smatrix_forward_matches_gather(rng, smatrix_forced):

@@ -194,37 +194,40 @@ def test_split_kernels_vjp_when_fused_gated_off(rng, monkeypatch):
 
 
 def test_kernel_precision_normalization():
-    """Mosaic lowers only DEFAULT/HIGHEST dots; every form of 'high' —
-    string, Precision enum, (lhs, rhs) pair — must round UP to 'highest'
-    instead of reaching the lowering crash
-    (runs/hw_session_20260818_224639.log:28-46)."""
-    import warnings
-
+    """Every form jax.lax accepts — string, Precision enum, (lhs, rhs)
+    pair — must canonicalize instead of reaching the Mosaic lowering crash
+    (runs/hw_session_20260818_224639.log:28-46). 'high' passes through: the
+    kernels implement it as the 3-pass bf16 hi/lo decomposition (_kdot)."""
     P = jax.lax.Precision
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        assert hpd_stream._kernel_precision("default") == "default"
-        assert hpd_stream._kernel_precision("highest") == "highest"
-        assert hpd_stream._kernel_precision(None) == "highest"
-        assert hpd_stream._kernel_precision("high") == "highest"
-        assert hpd_stream._kernel_precision(P.HIGH) == "highest"
-        assert hpd_stream._kernel_precision(("high", "high")) == "highest"
-        assert hpd_stream._kernel_precision((P.DEFAULT, P.HIGH)) == "highest"
-        assert (
-            hpd_stream._kernel_precision((P.DEFAULT, P.DEFAULT)) == "default"
-        )
+    assert hpd_stream._kernel_precision("default") == "default"
+    assert hpd_stream._kernel_precision("highest") == "highest"
+    assert hpd_stream._kernel_precision(None) == "highest"
+    assert hpd_stream._kernel_precision("high") == "high"
+    assert hpd_stream._kernel_precision(P.HIGH) == "high"
+    assert hpd_stream._kernel_precision(("high", "high")) == "high"
+    assert hpd_stream._kernel_precision((P.DEFAULT, P.HIGH)) == "high"
+    assert hpd_stream._kernel_precision((P.DEFAULT, P.DEFAULT)) == "default"
+    assert hpd_stream._kernel_precision((P.HIGH, P.HIGHEST)) == "highest"
 
 
-def test_kernel_precision_high_warns_once():
-    import warnings
-
-    hpd_stream._warned_high_precision = False
-    with warnings.catch_warnings(record=True) as rec:
-        warnings.simplefilter("always")
-        hpd_stream._kernel_precision("high")
-        hpd_stream._kernel_precision("high")
-    msgs = [w for w in rec if "highest" in str(w.message)]
-    assert len(msgs) == 1
+def test_high_precision_matches_highest_closely(rng):
+    """The in-kernel 3-pass bf16 'high' dots must track the fp32 'highest'
+    results to ~2^-22 relative (XLA HIGH semantics): same top-k indices on
+    non-degenerate data, close values/marginals."""
+    h, w, b, counts = _setup(rng)
+    marg_hi, vals_hi, idx_hi, m_hi, s_hi = hpd_stream.hpd_stream_fused_fwd(
+        h, w, b, counts, K, precision="highest", interpret=True
+    )
+    marg_h, vals_h, idx_h, m_h, s_h = hpd_stream.hpd_stream_fused_fwd(
+        h, w, b, counts, K, precision="high", interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx_h), np.asarray(idx_hi))
+    np.testing.assert_allclose(
+        np.asarray(vals_h), np.asarray(vals_hi), rtol=2e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(marg_h), np.asarray(marg_hi), rtol=2e-3, atol=1e-4
+    )
 
 
 def test_entry_points_accept_all_precisions(rng):
