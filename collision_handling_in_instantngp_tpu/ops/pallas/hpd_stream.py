@@ -357,7 +357,7 @@ def hpd_stream_marginal(
 # the SAME cached f32 logits instead of a recompute).
 
 # (R, T) fp32 cache per row block; R adapts to the table width
-FUSED_CACHE_BYTES = 16 << 20
+FUSED_CACHE_BYTES = 32 << 20
 # full-resident (H, T) weight cap — past this the split kernels take over
 FUSED_W_MAX_BYTES = 20 << 20
 
@@ -522,7 +522,7 @@ def hpd_stream_fused_fwd(
         # e-cache (16M) + resident weight (8M at T=2^14) + marginal block +
         # double-buffered row blocks
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024
+            vmem_limit_bytes=72 * 1024 * 1024
         ),
         interpret=interpret,
     )(h_pad, w, b.reshape(1, t), counts_pad)
@@ -663,7 +663,7 @@ def hpd_stream_fused_bwd(
         # p cache (16M) + resident weight (8M) + resident dw accumulator (8M)
         # + g_marg (1M) + row blocks
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=88 * 1024 * 1024
         ),
         interpret=interpret,
     )(
@@ -907,7 +907,7 @@ def hpd_tail_unique_pallas_bwd(
         # just past Mosaic's conservative 16M default scoped budget (measured
         # 21.2M); v5e VMEM accommodates it
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024
+            vmem_limit_bytes=72 * 1024 * 1024
         ),
         interpret=interpret,
     )(

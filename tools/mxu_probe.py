@@ -168,6 +168,10 @@ def main():
             in_specs=[pl.BlockSpec((BR, wt), lambda i: (i, 0))],
             out_specs=pl.BlockSpec((BR, wt), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((u_pad, wt), jnp.float32),
+            # in+out blocks double-buffered exceed the 16M default scope
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=48 * 1024 * 1024
+            ),
         )(x)
 
     probe = jax.jit(lambda x: jnp.sum(copier(x)[::4097, ::1023]))

@@ -46,6 +46,22 @@ PEAKS = {
 }
 FP32_HIGHEST_DIVISOR = 6.0  # 6-pass bf16 decomposition of a true-fp32 matmul
 
+# MEASURED ceilings at the scaled-config dot shape (U~162K, H=128, T=2^14),
+# tools/mxu_probe.py on real hardware (evidence/hw_r3_ablate.log): the H=128
+# contraction caps single-pass MXU efficiency at ~32% of nominal peak, and
+# streamed HBM writes reach ~1/3 of the nominal bandwidth. The nominal model
+# (above) yields an SOL no kernel can touch at these shapes; `--calibration
+# measured` (default when the device has an entry) anchors the roofline to
+# what the hardware actually delivers for this op shape.
+MEASURED = {
+    "TPU v5 lite": {
+        "highest": 24.5e12,    # fp32 native dots
+        "high": 40.5e12,       # 3-pass bf16 hi/lo (XLA HIGH algorithm)
+        "default": 62.9e12,    # 1-pass bf16 operands
+        "hbm_stream": 272e9,   # pallas streamed write bandwidth
+    },
+}
+
 
 def epoch_ledger(exp, num_pixels, u_compact=None):
     m = exp.model
@@ -110,6 +126,13 @@ def main():
                     help="also time real epochs on the attached device")
     ap.add_argument("--span", type=int, default=10)
     ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument(
+        "--calibration", default="measured", choices=["measured", "nominal"],
+        help="measured (default): per-chip dot/HBM rates probed at the "
+             "actual op shapes (tools/mxu_probe.py); nominal: public spec "
+             "peaks (unreachable at H=128 contractions — round-2's 808K "
+             "px/s SOL came from this model).",
+    )
     args = ap.parse_args()
 
     import jax
@@ -166,14 +189,23 @@ def main():
 
     kind = jax.devices()[0].device_kind
     peak = PEAKS.get(kind)
+    measured = MEASURED.get(kind) if args.calibration == "measured" else None
     out = {"mode": args.mode, "device_kind": kind, **ledger}
     if peak:
         peak_flops, peak_bw = peak
-        mm_rate = (
-            peak_flops / FP32_HIGHEST_DIVISOR
-            if exp.model.matmul_precision == "highest"
-            else peak_flops
-        )
+        if measured:
+            mm_rate = measured.get(
+                exp.model.matmul_precision, measured["highest"]
+            )
+            peak_bw = measured["hbm_stream"]
+            out["calibration"] = "measured"
+        else:
+            mm_rate = (
+                peak_flops / FP32_HIGHEST_DIVISOR
+                if exp.model.matmul_precision == "highest"
+                else peak_flops
+            )
+            out["calibration"] = "nominal"
         t_mm = ledger["matmul_flops"] / mm_rate
         t_vpu = ledger["vpu_flops"] / (peak_flops / 16)  # VPU ~ MXU/16
         t_bw = ledger["hbm_bytes"] / peak_bw
