@@ -106,10 +106,11 @@ class ModelConfig:
     # (pixel, level)'s 2x2 corner patch as ONE (V*F)-wide row from a per-batch
     # compact cell table instead of V narrow per-vertex rows — 4x fewer,
     # 4x wider gather rows (TPU gathers are row-granular and crawl on 8-byte
-    # rows). Opt-in: at the flagship scale the explicit table defeated XLA's
-    # gather+blend fusion and LOST end-to-end (encoding.py note) — measure
-    # per config.
-    dedup_cell_gather: bool = False
+    # rows). Default ON since round 3: it only engages where active-vertex
+    # compaction does (scaled-type geometries — flagship grids never compact,
+    # so this cannot regress them) and measured 239 -> 200 ms/batch at the
+    # scaled config (evidence/hw_r3_ablate.log ablate --cell-gather).
+    dedup_cell_gather: bool = True
 
     @property
     def num_corners(self) -> int:

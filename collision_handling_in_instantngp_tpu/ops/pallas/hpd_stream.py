@@ -148,16 +148,8 @@ def _select_kernel(
         + b_ref[:]
     )                                                          # (R, TT)
 
-    # online softmax statistics (rescale the running sum when the max moves)
-    tile_max = jnp.max(logits, axis=-1, keepdims=True)         # (R, 1)
-    m_old = m_scr[:]
-    m_new = jnp.maximum(m_old, tile_max)
-    s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + jnp.sum(
-        jnp.exp(logits - m_new), axis=-1, keepdims=True
-    )
-    m_scr[:] = m_new
-
-    # tile-local exact top-k on logits: K argmax/mask passes (first-index ties)
+    # tile-local exact top-k on logits: K argmax/mask passes (first-index
+    # ties); the first pass doubles as the online-softmax tile max
     col = jax.lax.broadcasted_iota(jnp.int32, (r, tt), 1)
     work = logits
     tvals, tidx = [], []
@@ -166,6 +158,15 @@ def _select_kernel(
         tvals.append(jnp.max(work, axis=-1))
         tidx.append(am.astype(jnp.int32) + j * tt)
         work = jnp.where(col == am[:, None], -jnp.inf, work)
+
+    # online softmax statistics (rescale the running sum when the max moves)
+    tile_max = tvals[0][:, None]                               # (R, 1)
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, tile_max)
+    s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.exp(logits - m_new), axis=-1, keepdims=True
+    )
+    m_scr[:] = m_new
 
     # merge tile candidates into the running top-k; running entries first so
     # argmax's first-maximum rule keeps lax.top_k's lowest-index tie order
@@ -400,7 +401,17 @@ def _online_topk_sweep(h_ref, w_ref, b_ref, cache_scr, mh_scr, k, lane_tile,
             _kdot(h_ref[:], w_ref[:, tile], precision)
             + b_ref[:, tile]
         )
-        tile_max = jnp.max(logits, axis=-1, keepdims=True)
+        # first top-k pass doubles as the online-softmax tile max (one full
+        # (R, TT) max reduction instead of two)
+        work = logits
+        tvals, tidx = [], []
+        for _ in range(k):
+            am = jnp.argmax(work, axis=-1)
+            tvals.append(jnp.max(work, axis=-1))
+            tidx.append(am.astype(jnp.int32) + j * lane_tile)
+            work = jnp.where(col == am[:, None], -jnp.inf, work)
+
+        tile_max = tvals[0][:, None]
         m_new = jnp.maximum(m_run, tile_max)
         e = jnp.exp(logits - m_new)                            # (R, TT)
         cache_scr[:, tile] = e
@@ -409,14 +420,6 @@ def _online_topk_sweep(h_ref, w_ref, b_ref, cache_scr, mh_scr, k, lane_tile,
             e, axis=-1, keepdims=True
         )
         m_run = m_new
-
-        work = logits
-        tvals, tidx = [], []
-        for _ in range(k):
-            am = jnp.argmax(work, axis=-1)
-            tvals.append(jnp.max(work, axis=-1))
-            tidx.append(am.astype(jnp.int32) + j * lane_tile)
-            work = jnp.where(col == am[:, None], -jnp.inf, work)
         comb_v = jnp.concatenate([rv] + [v[:, None] for v in tvals], -1)
         comb_i = jnp.concatenate([ri] + [i[:, None] for i in tidx], -1)
         rv_cols, ri_cols = [], []
