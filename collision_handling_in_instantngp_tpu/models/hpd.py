@@ -96,29 +96,12 @@ def apply_hpd_unique(
             marginal_raw = jnp.matmul(counts, probs_u, precision="highest")
         return marginal_raw, values, indices
 
-    # streaming: remat the hidden stack (cheap to recompute vs storing the
-    # (U, H) intermediates for scaled configs where HBM is the constraint)
-    @jax.checkpoint
-    def hidden_stack(rows, hidden_layers):
-        h = rows
-        for layer in hidden_layers:
-            h = jax.nn.relu(
-                jnp.matmul(h, layer["w"], precision=cfg.matmul_precision)
-                + layer["b"]
-            )
-        return h
-
-    h = hidden_stack(ucoords, params[:-1])
-    counts_in = (
-        counts
-        if counts is not None
-        else jnp.zeros((1, u), jnp.float32)
-    )
     # streaming-tail backend: the TPU kernel pair (ops/pallas/hpd_stream.py)
     # keeps each (R, TT) logits tile in VMEM — the jax scan's (R, T) HBM
     # round trips between matmul/softmax/top_k dominate at scaled T.
     # Exact-top-k only; approx_max_k stays on the jax path.
     from ..ops.pallas.hpd_stream import supports as _stream_supports
+    from ..ops.pallas import hidden as _hidden
 
     tail_backend = "jax"
     if cfg.topk_approx_recall is None and _stream_supports(t, cfg.topk_k):
@@ -131,6 +114,40 @@ def apply_hpd_unique(
             and jax.devices()[0].platform != "cpu"
         ):
             tail_backend = "pallas"
+
+    hidden_widths = tuple(lay["w"].shape[0] for lay in params[:-1])
+    if tail_backend != "jax" and _hidden.supports(
+        hidden_widths + (params[-2]["w"].shape[1],)
+    ):
+        # fused hidden-stack kernel with in-kernel recompute backward: XLA
+        # runs these tiny-contraction (K=2/32/64) matmuls ~30x off their
+        # FLOP cost at scaled U, and jax.checkpoint pays the stack twice
+        # more in the backward (ops/pallas/hidden.py)
+        h = _hidden.hidden_stack_pallas(
+            ucoords,
+            tuple((lay["w"], lay["b"]) for lay in params[:-1]),
+            cfg.matmul_precision,
+            tail_backend == "pallas_interpret",
+        )
+    else:
+        # remat the hidden stack (cheap to recompute vs storing the (U, H)
+        # intermediates for scaled configs where HBM is the constraint)
+        @jax.checkpoint
+        def hidden_stack(rows, hidden_layers):
+            h = rows
+            for layer in hidden_layers:
+                h = jax.nn.relu(
+                    jnp.matmul(h, layer["w"], precision=cfg.matmul_precision)
+                    + layer["b"]
+                )
+            return h
+
+        h = hidden_stack(ucoords, params[:-1])
+    counts_in = (
+        counts
+        if counts is not None
+        else jnp.zeros((1, u), jnp.float32)
+    )
     marginal_raw, values, indices = hpd_tail_unique(
         h, params[-1]["w"], params[-1]["b"], counts_in,
         cfg.topk_k, cfg.matmul_precision, noop, cfg.topk_approx_recall,
