@@ -66,6 +66,15 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "cpu", "tpu"],
                    help="Force the JAX platform (the environment may pin a "
                         "TPU plugin; 'cpu' overrides it in-process).")
+    p.add_argument("--log_image_every", type=int, default=None,
+                   help="Log the reconstructed train_image every N epochs "
+                        "(the reference logs it EVERY epoch, "
+                        "functions.py:718-721 — pass 1 for that cadence; "
+                        "default: histogram epochs only).")
+    p.add_argument("--scaled", action="store_true",
+                   help="InstantNGP-paper-scale tables (T=2^14, 16 levels, "
+                        "resolutions 16..512 — BASELINE config 4) instead "
+                        "of the reference's T=2^8 x 4 levels.")
     return p
 
 
@@ -77,15 +86,20 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
-    from .config import ModelConfig
+    from .config import ModelConfig, instantngp_scaled_model
     from .data import load_image_dataset
     from .train.grid_search import run_grid_search
     from .utils.logging import make_logger
 
     image_path = os.path.join(args.images_dir, args.filename)
-    model_cfg = ModelConfig(
-        out_channels=1 if args.should_bw else 3,
-    )
+    if args.scaled:
+        model_cfg = instantngp_scaled_model(
+            out_channels=1 if args.should_bw else 3,
+        )
+    else:
+        model_cfg = ModelConfig(
+            out_channels=1 if args.should_bw else 3,
+        )
     data = load_image_dataset(
         image_path, bw=args.should_bw, normalize=not model_cfg.batchnorm_input
     )
@@ -141,6 +155,7 @@ def main(argv=None) -> int:
         progress=sys.stdout.isatty(),
         epoch_span=args.epoch_span,
         ensemble_size=args.ensemble,
+        log_image_every=args.log_image_every,
     )
     for row in results:
         print(f"grid {row['grid_id']}: best PSNR {row['best_psnr']:.3f} "

@@ -67,6 +67,7 @@ def run_grid_search(
     epoch_span: int = 1,
     compile_cache: bool = True,
     ensemble_size: int = 1,
+    log_image_every: Optional[int] = None,
 ) -> List[Dict[str, Any]]:
     """Sweep configs [start_id, end_id] (inclusive start, exclusive end like the
     reference's slice at functions.py:503). Returns one summary row per config
@@ -134,6 +135,7 @@ def run_grid_search(
             progress=progress,
             epoch_span=epoch_span,
             epoch_fn_cache=fn_cache,
+            log_image_every=log_image_every,
         )
         row = {
             "grid_id": grid_id,
