@@ -196,6 +196,11 @@ def run_parent() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Pin to ONE device: an inherited --xla_force_host_platform_device_count
+    # (e.g. from the test suite's env) would otherwise turn this "unsharded"
+    # reference run into an N-device mesh whose batch constraint (pixel count
+    # divisible by N) the tiny image can't satisfy.
+    jax.config.update("jax_num_cpu_devices", 1)
     data, exp = _tiny_setup()
     expected = _epoch_losses(data, exp)
 
