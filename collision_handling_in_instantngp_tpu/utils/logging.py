@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Any, Dict, Optional
 
 
@@ -77,7 +78,9 @@ class JsonlLogger(MetricLogger):
         return out
 
     def log(self, metrics, step=None):
-        row = {"step": step}
+        # wall-clock stamp: makes steady-state epoch rates (and span/compile
+        # boundaries) recoverable from any run's log after the fact
+        row = {"step": step, "t": round(time.time(), 3)}
         for k, v in metrics.items():
             if _is_figure(v) or _is_image(v):
                 row[k] = self._save(k, v, step) if self._save_media else (

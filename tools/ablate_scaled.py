@@ -52,6 +52,12 @@ def main():
         help="A/B the cell-table per-pixel gather "
              "(ModelConfig.dedup_cell_gather)",
     )
+    ap.add_argument(
+        "--precision", default=None,
+        choices=["default", "high", "highest"],
+        help="Override matmul precision for the whole stage programs "
+             "(same semantics as bench.py --precision)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -93,6 +99,13 @@ def main():
     if args.cell_gather:
         exp = dataclasses.replace(
             exp, model=dataclasses.replace(exp.model, dedup_cell_gather=True)
+        )
+    if args.precision:
+        exp = dataclasses.replace(
+            exp,
+            model=dataclasses.replace(
+                exp.model, matmul_precision=args.precision
+            ),
         )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data = load_image_dataset(os.path.join(repo, "images", "strawberry.jpeg"))

@@ -8,6 +8,7 @@ config 4) with the same 4061 training recipe at the reference's 1/3 batches,
 for a quality demonstration of the scaled-table path.
 
 Usage: python tools/run_cold.py [epochs] [seed ...] [--precision=P] [--scaled]
+                                [--encoding_lr=LR]
 """
 
 import dataclasses
@@ -23,12 +24,14 @@ from collision_handling_in_instantngp_tpu.train.trainer import fit
 from collision_handling_in_instantngp_tpu.utils.logging import JsonlLogger
 
 
-def main(epochs, seeds, precision=None, scaled=False):
+def main(epochs, seeds, precision=None, scaled=False, encoding_lr=None):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data = load_image_dataset(os.path.join(repo, "images", "strawberry.jpeg"))
     tag = "" if not precision else f"_{precision}"
     if scaled:
         tag += "_scaled"
+    if encoding_lr is not None:
+        tag += f"_elr{encoding_lr:g}"
     for seed in seeds:
         exp = experiment_from_grid_id(4061)
         exp = dataclasses.replace(
@@ -50,6 +53,15 @@ def main(epochs, seeds, precision=None, scaled=False):
                 exp,
                 model=dataclasses.replace(
                     exp.model, matmul_precision=precision
+                ),
+            )
+        if encoding_lr is not None:
+            # the 4061 recipe's table LR (1e-4, reference params.py:37) was
+            # tuned for T=2^8; InstantNGP-scale tables train with ~1e-2
+            exp = dataclasses.replace(
+                exp,
+                optimizer=dataclasses.replace(
+                    exp.optimizer, encoding_lr=encoding_lr
                 ),
             )
         res = fit(
@@ -75,9 +87,13 @@ def main(epochs, seeds, precision=None, scaled=False):
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     precision = None
+    encoding_lr = None
     for a in sys.argv[1:]:
         if a.startswith("--precision="):
             precision = a.split("=", 1)[1]
+        elif a.startswith("--encoding_lr="):
+            encoding_lr = float(a.split("=", 1)[1])
     epochs = int(args[0]) if args else 5000
     seeds = [int(s) for s in args[1:]] or [65535]
-    main(epochs, seeds, precision, scaled="--scaled" in sys.argv[1:])
+    main(epochs, seeds, precision, scaled="--scaled" in sys.argv[1:],
+         encoding_lr=encoding_lr)
