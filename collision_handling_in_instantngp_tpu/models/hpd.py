@@ -116,7 +116,7 @@ def apply_hpd_unique(
             tail_backend = "pallas"
 
     hidden_widths = tuple(lay["w"].shape[0] for lay in params[:-1])
-    if tail_backend != "jax" and _hidden.supports(
+    if tail_backend != "jax" and len(params) >= 2 and _hidden.supports(
         hidden_widths + (params[-2]["w"].shape[1],)
     ):
         # fused hidden-stack kernel with in-kernel recompute backward: XLA

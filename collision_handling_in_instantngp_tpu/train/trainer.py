@@ -188,7 +188,9 @@ def fit(
             # best-PSNR checkpoints are exact at any span
             fn = make_jitted(
                 tx, data.num_pixels, span=span_n,
-                track_best=span_n is not None,
+                # best-snapshot selection costs a per-epoch full-tree where;
+                # runs that never checkpoint shouldn't pay it
+                track_best=span_n is not None and tcfg.save_params,
             )
             jitted_fns[span_n] = fn
         return fn
@@ -228,6 +230,10 @@ def fit(
         return get_jitted(n)(st, batches, hypers=hypers)
 
     rate = tcfg.histograms_rate
+    if log_image_every is not None and log_image_every < 1:
+        raise ValueError(
+            f"log_image_every must be >= 1, got {log_image_every}"
+        )
     img_rate = log_image_every
     last_image_dev = None
     stop_now = False
@@ -556,10 +562,13 @@ def fit_ensemble(
     g_best_tree = (state.params, state.opt_state, state.bn_state)
 
     ep = 0
-    while ep < epochs and not all(s.early_stop for s in stoppers):
+    # a member is finished once its stop EPOCH is recorded (one epoch AFTER
+    # its loss-stopper fired — solo-fit()/reference semantics, where the
+    # break happens at the next iteration's check)
+    while ep < epochs and not all(se is not None for se in stop_epoch):
         n = min(max(1, epoch_span), epochs - ep)
         active = jnp.asarray(
-            np.array([not s.early_stop for s in stoppers])
+            np.array([se is None for se in stop_epoch])
         )
         state, scal, images, _, span_best = span_fn(
             state, batches, hypers, active, jnp.asarray(n, jnp.int32)
@@ -570,7 +579,7 @@ def fit_ensemble(
         vals = jax.device_get(scal)  # each field (S, E, ...)
         for j in range(n):
             for ei, exp in enumerate(exps):
-                if stoppers[ei].early_stop:
+                if stop_epoch[ei] is not None:
                     continue
                 loss = float(vals.loss[j, ei])
                 int_sq = float(vals.int_sq_err[j, ei])
@@ -609,6 +618,10 @@ def fit_ensemble(
                         stop_epoch[ei] = e_abs
                         continue
                 if stoppers[ei].early_stop:
+                    # the stopper fired on a PREVIOUS epoch's loss: this
+                    # epoch still trains and logs (reference
+                    # functions.py:786-793 breaks only on the next
+                    # iteration), then the member freezes
                     stop_epoch[ei] = e_abs
                 elif e_abs != 0:
                     stoppers[ei](loss)

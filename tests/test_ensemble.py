@@ -104,3 +104,34 @@ def test_grid_driver_ensemble_matches_per_config(rng, tmp_path):
             by_id_e[gid]["best_psnr"], by_id_s[gid]["best_psnr"], rtol=1e-4
         )
         assert by_id_e[gid]["epochs_run"] == by_id_s[gid]["epochs_run"]
+
+
+def test_ensemble_early_stop_epochs_run_matches_solo(rng, tmp_path):
+    """A member whose loss-stopper fires mid-run must report the SAME
+    epochs_run / stopped_early as its solo fit() (the stop epoch used to be
+    recorded in dead code, so manifests showed the whole group's epoch
+    count). min_delta=1e9 makes every improving epoch a 'stall' (reference
+    utils.py:185-194 quirk), so tolerance=3 fires deterministically early."""
+    data = _tiny_data(rng)
+    base = _exps(tmp_path / "es", ids=[4061, 4051], epochs=12)
+    exps = [
+        dataclasses.replace(
+            e,
+            train=dataclasses.replace(
+                e.train, tolerance=3, min_delta=1e9, save_params=False
+            ),
+        )
+        for e in base
+    ]
+    ens = fit_ensemble(exps, data, epochs=12, epoch_span=4)
+    for exp, r_ens in zip(exps, ens):
+        solo = fit(exp, data, verbose=False)
+        assert solo.stopped_early, "test premise: the stopper must fire"
+        assert r_ens.stopped_early == solo.stopped_early
+        assert r_ens.epochs_run == solo.epochs_run, (
+            f"grid {exp.grid_id}: ensemble {r_ens.epochs_run} "
+            f"!= solo {solo.epochs_run}"
+        )
+        np.testing.assert_allclose(
+            r_ens.best_psnr, solo.best_psnr, rtol=1e-5
+        )

@@ -135,3 +135,25 @@ def test_log_image_every_epoch_cadence(rng, tmp_path):
             # also attach the image (existing behavior)
             assert has == want, f"every={every} step={step}: image={has}"
         assert len(logger.rows) == epochs
+
+
+def test_stream_backend_with_no_hidden_layers(rng, tmp_path):
+    """hpd_hidden=() + a streaming backend must route cleanly (params has
+    only the head layer; the fused hidden-stack gate used to index
+    params[-2] before it could reject the shape)."""
+    from collision_handling_in_instantngp_tpu.models import gngf
+
+    data = _tiny_data(rng)
+    exp = _small_exp(tmp_path, epochs=2)
+    exp = dataclasses.replace(
+        exp,
+        model=dataclasses.replace(
+            exp.model,
+            hpd_hidden=(),
+            hash_table_size=128,
+            hpd_backend="unique_stream_pallas_interpret",
+        ),
+        train=dataclasses.replace(exp.train, save_params=False),
+    )
+    res = fit(exp, data, verbose=False)  # IndexError before the fix
+    assert np.isfinite(res.final_loss)

@@ -53,7 +53,7 @@ def main():
 
     flops = 2 * U * H * T
 
-    def timeit(name, fn, *fargs, ref=None):
+    def timeit(name, fn, *fargs):
         probe = jax.jit(lambda *a: jnp.sum(fn(*a)).astype(jnp.float32))
         jax.device_get(probe(*fargs))
         t0 = time.perf_counter()
@@ -61,7 +61,6 @@ def main():
             out = probe(*fargs)
         jax.device_get(out)
         dt = (time.perf_counter() - t0) / args.reps
-        extra = f"  {ref / dt:6.2f} GB/s->x" if ref else ""
         print(f"{name:40s} {dt * 1e3:9.2f} ms  {flops / dt / 1e12:7.2f} TF/s")
         return dt
 

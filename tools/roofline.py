@@ -61,6 +61,11 @@ MEASURED = {
         "hbm_stream": 272e9,   # pallas streamed write bandwidth
     },
 }
+# the v5e device_kind string varies by runtime (PEAKS carries both spellings
+# for the same reason); without the alias `--calibration measured` would
+# silently fall back to the nominal model on the very chip these numbers
+# were probed on
+MEASURED["TPU v5e"] = MEASURED["TPU v5 lite"]
 
 
 def epoch_ledger(exp, num_pixels, u_compact=None):
