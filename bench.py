@@ -130,7 +130,7 @@ def main() -> None:
         epoch = make_jitted(tx, data.num_pixels, span=span)
 
         def run_one(st):
-            st, smetrics, _, _ = epoch(st, batches)
+            st, smetrics, _, _, _ = epoch(st, batches)
             return st, smetrics.loss[-1]
 
     # warmup (compile + cache; axon remote execution is async, so force a

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .hpd_stream import _kdot, _kernel_precision
+from .hpd_stream import _kdot, _kdot_general, _kernel_precision
 
 BLOCK_ROWS = 1024
 # supported stack: every width a multiple of 8 after input padding, last
@@ -82,10 +82,12 @@ def _bwd_kernel(x_ref, gh_ref, *refs, n_layers: int, precision: str):
     g = gh_ref[:]
     for i in reversed(range(n_layers)):
         g = jnp.where(pres[i] >= 0.0, g, 0.0)            # ReLU mask
-        # dW_i = acts[i]^T @ g ; db_i = sum_rows g
-        dw_c = jax.lax.dot_general(
-            acts[i], g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision="highest",
+        # dW_i = acts[i]^T @ g ; db_i = sum_rows g — same canonicalized
+        # kernel precision as the forward recompute, so 'default'/'high'
+        # gradients match the jax.checkpoint path's dtype semantics and
+        # keep the bf16 MXU rate the mode is chosen for
+        dw_c = _kdot_general(
+            acts[i], g, (((0,), (0,)), ((), ())), precision
         )
         db_c = jnp.sum(g, axis=0, keepdims=True)
 
@@ -101,9 +103,8 @@ def _bwd_kernel(x_ref, gh_ref, *refs, n_layers: int, precision: str):
 
         if i > 0:
             # da = g @ W_i^T
-            g = jax.lax.dot_general(
-                g, w_refs[i][:], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision="highest",
+            g = _kdot_general(
+                g, w_refs[i][:], (((1,), (1,)), ((), ())), precision
             )
 
 

@@ -115,6 +115,9 @@ class HyperParams(NamedTuple):
     delta: jnp.ndarray
     hpd_lr: jnp.ndarray
     mlp_lr: jnp.ndarray
+    # not a reference grid axis (params.py:37 fixes it at 1e-4), but dynamic
+    # so scaled-table lr studies sweep it inside ONE vmapped ensemble program
+    encoding_lr: jnp.ndarray
 
     @classmethod
     def from_exp(cls, exp: ExperimentConfig) -> "HyperParams":
@@ -124,6 +127,7 @@ class HyperParams(NamedTuple):
             gamma=f(lcfg.gamma), epsilon=f(lcfg.epsilon), l_mse=f(lcfg.l_mse),
             l_js_kl=f(lcfg.l_js_kl), l_collisions=f(lcfg.l_collisions),
             delta=f(lcfg.delta), hpd_lr=f(ocfg.hpd_lr), mlp_lr=f(ocfg.mlp_lr),
+            encoding_lr=f(ocfg.encoding_lr),
         )
 
 
@@ -383,7 +387,9 @@ def make_epoch_fn(
     if dynamic_hypers:
         import dataclasses as _dc
 
-        opt_cfg = _dc.replace(exp.optimizer, hpd_lr=1.0, mlp_lr=1.0)
+        opt_cfg = _dc.replace(
+            exp.optimizer, hpd_lr=1.0, mlp_lr=1.0, encoding_lr=1.0
+        )
     else:
         opt_cfg = exp.optimizer
     tx = None  # created lazily against a params tree in init_state
@@ -448,7 +454,12 @@ def make_epoch_fn(
             updates, opt_state = tx_update(grads, opt_state, params)
             if dynamic_hypers:
                 updates = dict(updates)
-                for group, lr in (("hpd", hypers.hpd_lr), ("mlp", hypers.mlp_lr)):
+                # keys here are PARAM-TREE keys (optimizer.param_labels maps
+                # "tables" -> the "encoding" lr group), not group names
+                for group, lr in (
+                    ("hpd", hypers.hpd_lr), ("mlp", hypers.mlp_lr),
+                    ("tables", hypers.encoding_lr),
+                ):
                     if group in updates:
                         updates[group] = jax.tree_util.tree_map(
                             lambda u: u * lr, updates[group]
@@ -663,10 +674,14 @@ def make_epoch_fn(
                     body, (state, img0, best0),
                     jnp.arange(span, dtype=jnp.int32),
                 )
-                # (S, E, ...) metrics; last epoch's (E, P, C) images
-                if track_best:
-                    return st, scal, img, jnp.zeros((0,), jnp.int32), best
-                return st, scal, img, jnp.zeros((0,), jnp.int32)
+                # (S, E, ...) metrics; last epoch's (E, P, C) images.
+                # Uniform 5-tuple arity regardless of track_best (best=None
+                # is an empty pytree under jit) so the trainer's unpack never
+                # depends on the flag combination.
+                return (
+                    st, scal, img, jnp.zeros((0,), jnp.int32),
+                    best if track_best else None,
+                )
 
             return jax.jit(vmulti)
         step = functools.partial(
@@ -712,9 +727,8 @@ def make_epoch_fn(
             (st, img, idx, best), scal = jax.lax.scan(
                 body, (state, img0, idx0, best0), None, length=span
             )
-            if track_best:
-                return st, scal, img, idx, best
-            return st, scal, img, idx
+            # uniform 5-tuple arity (see vmulti): best=None when untracked
+            return st, scal, img, idx, best if track_best else None
 
         return jax.jit(multi)
 

@@ -473,8 +473,13 @@ def fit_ensemble(
     zero-collision abort are evaluated PER CONFIG on the host from the
     stacked metrics; a member that early-stops is FROZEN on device from the
     next span boundary (up to epoch_span-1 extra epochs can execute before
-    the host sees the stop — their metrics are ignored and the frozen state
-    discards them); checkpoints save each config's BEST-PSNR params (the
+    the host sees the stop — their metrics are ignored, but the device-side
+    best tracker DOES consider them: a post-stop epoch inside the stop span
+    that happens to set a new int_sq_err minimum becomes that member's saved
+    best checkpoint, a residual divergence from solo fit() bounded by
+    epoch_span-1 epochs; the host cannot gate it because the stop epoch is
+    only known after the span's losses come back); checkpoints save each
+    config's BEST-PSNR params (the
     span program carries per-member best snapshots on device, train_step
     make_jitted track_best), like solo fit(); histogram statistics and media
     logging are not emitted (use fit() for those). per_member_shuffle=True

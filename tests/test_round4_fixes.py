@@ -1,0 +1,97 @@
+"""Round-4 regression pins.
+
+1. fit(epoch_span>1, save_params=False) must not crash: make_jitted returns a
+   uniform 5-tuple regardless of track_best (VERDICT r3 weak #1 — the span
+   fn returned 4 values when track_best=False while the trainer unpacked 5).
+2. encoding_lr as a dynamic HyperParam: the vmapped ensemble path rescales
+   the "tables" param-tree key (NOT a group literally named "encoding" — the
+   update tree is keyed by param keys, optimizer.param_labels), and matches
+   the static-optimizer path bitwise at the default lr.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from collision_handling_in_instantngp_tpu.config import experiment_from_grid_id
+from collision_handling_in_instantngp_tpu.data import make_shuffle_permutations
+from collision_handling_in_instantngp_tpu.models import gngf
+from collision_handling_in_instantngp_tpu.train.train_step import (
+    HyperParams,
+    build_epoch_batches,
+    make_epoch_fn,
+)
+
+
+def _tiny_exp(**opt):
+    exp = experiment_from_grid_id(4061)
+    exp = dataclasses.replace(
+        exp,
+        model=dataclasses.replace(
+            exp.model, num_levels=2, hash_table_size=32, n_min=4, n_max=8,
+        ),
+    )
+    if opt:
+        exp = dataclasses.replace(
+            exp, optimizer=dataclasses.replace(exp.optimizer, **opt)
+        )
+    return exp
+
+
+def _data(exp, p=64):
+    rng = np.random.RandomState(0)
+    img = rng.rand(8, 8, 3).astype(np.float32)
+    coords = np.stack(
+        np.meshgrid(np.arange(8), np.arange(8), indexing="ij"), -1
+    ).reshape(-1, 2).astype(np.float32)
+    targets = img.reshape(-1, 3)
+    statics = gngf.make_statics(exp.model)
+    shuf, _ = make_shuffle_permutations(p, exp.train.seed, True)
+    batches = build_epoch_batches(
+        coords, targets, exp.train.batch_fraction, shuf, og_image=img,
+        model_cfg=exp.model, statics=statics,
+    )
+    return statics, batches
+
+
+def test_span_fn_uniform_arity_without_track_best():
+    exp = _tiny_exp()
+    statics, batches = _data(exp)
+    init_state, mk = make_epoch_fn(exp, statics)
+    st, tx = init_state(jax.random.PRNGKey(0))
+    fn = mk(tx, 64, span=3, track_best=False)
+    st, scal, img, idx, best = fn(st, batches)
+    assert best is None
+    assert scal.loss.shape == (3,)
+    fn_b = mk(tx, 64, span=3, track_best=True)
+    st2, scal2, img2, idx2, best2 = fn_b(st, batches)
+    assert best2 is not None and jnp.isfinite(best2[0])
+
+
+def test_dynamic_encoding_lr_matches_static_and_scales_tables():
+    exp = _tiny_exp()
+    statics, batches = _data(exp)
+
+    def run(dynamic, encoding_lr):
+        e = _tiny_exp(encoding_lr=encoding_lr)
+        init_state, mk = make_epoch_fn(e, statics, dynamic_hypers=dynamic)
+        st, tx = init_state(jax.random.PRNGKey(0))
+        fn = mk(tx, 64)
+        h = HyperParams.from_exp(e) if dynamic else None
+        for _ in range(2):
+            st, m, _ = fn(st, batches, hypers=h)
+        return jax.device_get(st.params)
+
+    p_static = run(False, 1e-4)
+    p_dyn = run(True, 1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_static), jax.tree_util.tree_leaves(p_dyn)
+    ):
+        np.testing.assert_array_equal(a, b)
+
+    # a different dynamic encoding_lr must actually reach the tables
+    p_hot = run(True, 1e-2)
+    assert not np.allclose(p_hot["tables"], p_dyn["tables"])

@@ -44,7 +44,7 @@ def test_span_fn_matches_serial_epochs(rng, tmp_path):
         last = (metrics.image, idx)
 
     span_fn = make_jitted(tx, data.num_pixels, span=4)
-    st_span, smetrics, image, idx_span = span_fn(state0, batches)
+    st_span, smetrics, image, idx_span, _best = span_fn(state0, batches)
 
     np.testing.assert_allclose(
         np.asarray(smetrics.loss), np.asarray(losses), rtol=1e-6

@@ -243,12 +243,12 @@ def main():
         state, tx = init_state(jax.random.PRNGKey(0))
         fn = make_jitted(tx, data.num_pixels, span=args.span)
         for _ in range(2):
-            state, sm, _, _ = fn(state, batches)
+            state, sm, _, _, _ = fn(state, batches)
             float(sm.loss[-1])
         calls = max(1, args.epochs // args.span)
         t0 = time.perf_counter()
         for _ in range(calls):
-            state, sm, _, _ = fn(state, batches)
+            state, sm, _, _, _ = fn(state, batches)
         float(sm.loss[-1])
         dt = (time.perf_counter() - t0) / (calls * args.span)
         out["measured_epoch_ms"] = round(dt * 1e3, 3)

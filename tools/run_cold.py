@@ -8,7 +8,14 @@ config 4) with the same 4061 training recipe at the reference's 1/3 batches,
 for a quality demonstration of the scaled-table path.
 
 Usage: python tools/run_cold.py [epochs] [seed ...] [--precision=P] [--scaled]
-                                [--encoding_lr=LR]
+                                [--encoding_lr=LR] [--l_js_kl=W]
+                                [--l_collisions=W] [--no_hist]
+
+--no_hist disables histogram epochs (histograms_rate=10^9): at the scaled
+geometry (L=16, T=2^14) each histogram epoch pays a singleton device call +
+cell-table statistics + 16 matplotlib figures — ~3s of wall per occurrence
+that the quality studies don't need (the r3 scaled run spent most of its
+3.7 s/epoch average there; spans train at ~0.63 s/epoch).
 """
 
 import dataclasses
@@ -24,7 +31,8 @@ from collision_handling_in_instantngp_tpu.train.trainer import fit
 from collision_handling_in_instantngp_tpu.utils.logging import JsonlLogger
 
 
-def main(epochs, seeds, precision=None, scaled=False, encoding_lr=None):
+def main(epochs, seeds, precision=None, scaled=False, encoding_lr=None,
+         l_js_kl=None, l_collisions=None, no_hist=False):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data = load_image_dataset(os.path.join(repo, "images", "strawberry.jpeg"))
     tag = "" if not precision else f"_{precision}"
@@ -32,6 +40,10 @@ def main(epochs, seeds, precision=None, scaled=False, encoding_lr=None):
         tag += "_scaled"
     if encoding_lr is not None:
         tag += f"_elr{encoding_lr:g}"
+    if l_js_kl is not None:
+        tag += f"_jskl{l_js_kl:g}"
+    if l_collisions is not None:
+        tag += f"_lcoll{l_collisions:g}"
     for seed in seeds:
         exp = experiment_from_grid_id(4061)
         exp = dataclasses.replace(
@@ -64,6 +76,21 @@ def main(epochs, seeds, precision=None, scaled=False, encoding_lr=None):
                     exp.optimizer, encoding_lr=encoding_lr
                 ),
             )
+        if l_js_kl is not None or l_collisions is not None:
+            # scaled-table regularizer controls: at T=2^14 the uniformity
+            # prior spreads mass over 16,384 slots — a very different
+            # regularizer than at the 4061 recipe's T=2^8
+            loss = exp.loss
+            if l_js_kl is not None:
+                loss = dataclasses.replace(loss, l_js_kl=l_js_kl)
+            if l_collisions is not None:
+                loss = dataclasses.replace(loss, l_collisions=l_collisions)
+            exp = dataclasses.replace(exp, loss=loss)
+        if no_hist:
+            exp = dataclasses.replace(
+                exp,
+                train=dataclasses.replace(exp.train, histograms_rate=10**9),
+            )
         res = fit(
             exp, data,
             epochs=epochs,
@@ -88,12 +115,19 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     precision = None
     encoding_lr = None
+    l_js_kl = None
+    l_collisions = None
     for a in sys.argv[1:]:
         if a.startswith("--precision="):
             precision = a.split("=", 1)[1]
         elif a.startswith("--encoding_lr="):
             encoding_lr = float(a.split("=", 1)[1])
+        elif a.startswith("--l_js_kl="):
+            l_js_kl = float(a.split("=", 1)[1])
+        elif a.startswith("--l_collisions="):
+            l_collisions = float(a.split("=", 1)[1])
     epochs = int(args[0]) if args else 5000
     seeds = [int(s) for s in args[1:]] or [65535]
     main(epochs, seeds, precision, scaled="--scaled" in sys.argv[1:],
-         encoding_lr=encoding_lr)
+         encoding_lr=encoding_lr, l_js_kl=l_js_kl, l_collisions=l_collisions,
+         no_hist="--no_hist" in sys.argv[1:])
