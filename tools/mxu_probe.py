@@ -16,11 +16,17 @@ methodology). The earlier version timed jnp.sum(jnp.matmul(...)) — XLA's
 algebraic simplifier rewrites that to a vector product, so those numbers were
 fiction; pallas interiors are opaque to the simplifier.
 
-Usage: python tools/mxu_probe.py [--reps N]
+Writes a calibration artifact (--json-out, default
+evidence/roofline_calibration.json) keyed by jax device_kind that
+tools/roofline.py loads for its measured-ceiling model — recalibration after
+a kernel or shape change is a re-run of this probe, not a code edit.
+
+Usage: python tools/mxu_probe.py [--reps N] [--json-out PATH]
 """
 
 import argparse
 import functools
+import json
 import os
 import sys
 import time
@@ -31,8 +37,15 @@ U, H, T, L, K = 162304, 128, 16384, 16, 4
 
 
 def main():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument(
+        "--json-out",
+        default=os.path.join(repo, "evidence", "roofline_calibration.json"),
+        help="calibration artifact consumed by tools/roofline.py "
+             "(pass '' to skip writing)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -53,7 +66,9 @@ def main():
 
     flops = 2 * U * H * T
 
-    def timeit(name, fn, *fargs):
+    results = {}
+
+    def timeit(name, fn, *fargs, key=None):
         probe = jax.jit(lambda *a: jnp.sum(fn(*a)).astype(jnp.float32))
         jax.device_get(probe(*fargs))
         t0 = time.perf_counter()
@@ -62,6 +77,8 @@ def main():
         jax.device_get(out)
         dt = (time.perf_counter() - t0) / args.reps
         print(f"{name:40s} {dt * 1e3:9.2f} ms  {flops / dt / 1e12:7.2f} TF/s")
+        if key:
+            results[key] = round(flops / dt, 1)
         return dt
 
     BR, LT = 512, hs.LANE_TILE
@@ -114,18 +131,19 @@ def main():
 
     print(f"dot shape ({U}, {H}) x ({H}, {T}) = {flops/1e9:.0f} GFLOP"
           f" (rowsum kernels: no (U, T) write)")
-    timeit("pallas dot+rowsum fp32 [highest]", rowsum, h_pad, w)
+    timeit("pallas dot+rowsum fp32 [highest]", rowsum, h_pad, w,
+           key="highest")
     timeit(
         "pallas dot+rowsum fp32 [default]",
         functools.partial(rowsum, precision="default"), h_pad, w,
     )
     timeit(
         "pallas dot+rowsum bf16 operands",
-        functools.partial(rowsum, cast="bf16"), h_pad, w,
+        functools.partial(rowsum, cast="bf16"), h_pad, w, key="default",
     )
     timeit(
         "pallas dot+rowsum bf16x3 hi/lo",
-        functools.partial(rowsum, cast="bf16x3"), h_pad, w,
+        functools.partial(rowsum, cast="bf16x3"), h_pad, w, key="high",
     )
 
     # HBM streaming: pure write of a (U, T/4) fp32 block (2.66 GB)
@@ -154,6 +172,7 @@ def main():
         f"{'pallas pure HBM write (2.66 GB)':40s} {dt * 1e3:9.2f} ms  "
         f"{wbytes / dt / 1e9:7.1f} GB/s"
     )
+    results["hbm_stream"] = round(wbytes / dt, 1)
 
     big = jnp.ones((u_pad, wt), jnp.float32)
 
@@ -184,6 +203,7 @@ def main():
         f"{'pallas HBM read+write (2x2.66 GB)':40s} {dt * 1e3:9.2f} ms  "
         f"{2 * wbytes / dt / 1e9:7.1f} GB/s"
     )
+    results["hbm_rw"] = round(2 * wbytes / dt, 1)
 
     # repo kernels at the same shapes
     timeit(
@@ -201,6 +221,24 @@ def main():
         lambda *a: hs.hpd_stream_fused_bwd(*a, K, "highest")[0],
         h, w, b, counts, idx, vals, m, s, gmarg, gvals,
     )
+
+    if args.json_out:
+        kind = jax.devices()[0].device_kind
+        path = args.json_out
+        cal = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                cal = json.load(fh)
+        cal[kind] = {
+            **results,
+            "probe_shape": [U, H, T],
+            "reps": args.reps,
+            "stamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(cal, fh, indent=1, sort_keys=True)
+        print(f"calibration -> {path} [{kind}]")
 
 
 if __name__ == "__main__":
