@@ -28,6 +28,12 @@ def main():
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu"])
     ap.add_argument("--pixels", type=int, default=98304)
     ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument(
+        "--mode", default="gngf", choices=["gngf", "scaled"],
+        help="scaled: T=2^14/L=16 model with slot-axis TP over the mesh's "
+             "model axis (tables sharded) — the config where DP weak "
+             "scaling should hold the BASELINE >=80% target",
+    )
     args = ap.parse_args()
 
     import jax
@@ -50,6 +56,14 @@ def main():
     )
 
     exp = experiment_from_grid_id(4061)
+    if args.mode == "scaled":
+        import dataclasses
+
+        from collision_handling_in_instantngp_tpu.config import (
+            instantngp_scaled_model,
+        )
+
+        exp = dataclasses.replace(exp, model=instantngp_scaled_model())
     statics = gngf.make_statics(exp.model)
     rng = np.random.default_rng(0)
     p = args.pixels
@@ -68,8 +82,11 @@ def main():
         if n > len(jax.devices()):
             print(f"# skipping {n} devices (only {len(jax.devices())})")
             continue
-        mesh = make_mesh(jax.devices()[:n])
-        state, b = shard_state_and_batches(base_state, batches, mesh)
+        mp = 2 if (args.mode == "scaled" and n % 2 == 0) else 1
+        mesh = make_mesh(jax.devices()[:n], model_parallel=mp)
+        state, b = shard_state_and_batches(
+            base_state, batches, mesh, shard_tables=(mp > 1)
+        )
         state, metrics, _ = epoch(state, b)           # compile + warmup
         float(metrics.loss)
         t0 = time.perf_counter()
