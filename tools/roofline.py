@@ -151,6 +151,11 @@ def epoch_ledger(exp, num_pixels, u_compact=None):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--mode", default="gngf", choices=["gngf", "scaled"])
+    ap.add_argument(
+        "--precision", default=None, choices=["default", "high", "highest"],
+        help="matmul precision for the SOL model (and the measured step "
+             "when --measure)",
+    )
     ap.add_argument("--measure", action="store_true",
                     help="also time real epochs on the attached device")
     ap.add_argument("--span", type=int, default=10)
@@ -178,6 +183,13 @@ def main():
             exp,
             model=instantngp_scaled_model(),
             train=dataclasses.replace(exp.train, batch_fraction=1 / 3),
+        )
+    if args.precision:
+        exp = dataclasses.replace(
+            exp,
+            model=dataclasses.replace(
+                exp.model, matmul_precision=args.precision
+            ),
         )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
