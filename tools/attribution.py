@@ -215,6 +215,25 @@ def main():
 
     STAGES = ["geometry", "hidden", "tail", "blend", "decoder", "loss"]
 
+    # fidelity check: the mirrored pipeline must compute the REAL model's
+    # loss, or the stage attribution is attributing a different program
+    def real_loss(params):
+        out = gngf.forward(
+            params, bx, mcfg, statics, train=True, dedup=dedup,
+            need_indices=False,
+        )
+        aux = compute_loss(
+            out.rgb, by, out.probs, prev_coll, prev_min, lcfg,
+            mcfg.num_levels, marginals=out.marginal, valid_rows=nvalid,
+        )
+        return aux.total
+
+    lp = float(jax.jit(functools.partial(prefix, upto="loss"))(params))
+    lr = float(jax.jit(real_loss)(params))
+    assert abs(lp - lr) <= 1e-5 * max(1.0, abs(lr)), (
+        f"prefix pipeline diverged from gngf.forward: {lp} vs {lr}"
+    )
+
     def timeit(fn, *fargs):
         jax.device_get(fn(*fargs))
         t0 = time.perf_counter()
