@@ -38,6 +38,26 @@ def best_at_budget(path, budget):
     return best, epochs
 
 
+def tqdm_bests(logpath, budget):
+    """Yield (seed, best_psnr_at_budget) for each complete-at-budget run in a
+    reference console log (which may hold several runs back to back)."""
+    text = open(logpath, errors="replace").read()
+    # split into per-run chunks on the seed banner
+    chunks = re.split(r"Random seed: (\d+)", text)
+    for i in range(1, len(chunks) - 1, 2):
+        seed, body = int(chunks[i]), chunks[i + 1]
+        best, max_epoch = None, 0
+        for m in re.finditer(
+            r"Training_psnr: ([0-9.]+)[^|]*\|[^|]*\| (\d+)/\d+", body
+        ):
+            psnr, epoch = float(m.group(1)), int(m.group(2))
+            max_epoch = max(max_epoch, epoch)
+            if epoch <= budget and (best is None or psnr > best):
+                best = psnr
+        if best is not None and max_epoch >= budget:
+            yield seed, best
+
+
 def main(budget=450):
     ref = {}
     # Primary source: per-epoch JSONLs from tools/run_reference_cold.py.
@@ -64,6 +84,16 @@ def main(budget=450):
                 continue
             if row.get("epoch_budget") == budget and row["seed"] not in ref:
                 ref[row["seed"]] = row["best_psnr"]
+    # Last resort, any budget: the reference's tqdm bar text embeds the
+    # per-epoch Training_psnr next to the epoch counter; parse the committed
+    # console logs. The psnr<->epoch pairing is off by at most one epoch
+    # (the bar redraws before and after the increment), which cannot change
+    # a best-so-far by more than one epoch's worth of PSNR movement.
+    for logpath in sorted(
+        glob.glob(os.path.join(REPO, "evidence", "reference_cold_*.log"))
+    ):
+        for seed, best in tqdm_bests(logpath, budget):
+            ref.setdefault(seed, best)
 
     rows = []
     for seed, rbest in sorted(ref.items()):
