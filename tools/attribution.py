@@ -246,10 +246,14 @@ def main():
     for s in STAGES:
         f = jax.jit(functools.partial(prefix, upto=s))
         fwd_t[s] = timeit(f, params)
+        # value_and_grad, NOT prefix(p)+probe(grad(prefix)(p)): the latter
+        # runs the forward TWICE (the plain forward and grad's vjp-forward
+        # carry different custom_vjp residual programs, so XLA cannot CSE
+        # them) and inflated every backward row by ~one forward (~61 ms at
+        # the scaled geometry), surfacing as a nonsense -60 ms optimizer row.
         g = jax.jit(
-            lambda p, _s=s: (
-                prefix(p, _s)
-                + probe(jax.grad(lambda q: prefix(q, _s))(p))
+            lambda p, _s=s: (lambda vg: vg[0] + probe(vg[1]))(
+                jax.value_and_grad(lambda q: prefix(q, _s))(p)
             )
         )
         bwd_t[s] = timeit(g, params)
