@@ -68,7 +68,7 @@ def main():
 
     results = {}
 
-    def timeit(name, fn, *fargs, key=None):
+    def timeit(name, fn, *fargs, key=None, nflops=None):
         probe = jax.jit(lambda *a: jnp.sum(fn(*a)).astype(jnp.float32))
         jax.device_get(probe(*fargs))
         t0 = time.perf_counter()
@@ -76,9 +76,10 @@ def main():
             out = probe(*fargs)
         jax.device_get(out)
         dt = (time.perf_counter() - t0) / args.reps
-        print(f"{name:40s} {dt * 1e3:9.2f} ms  {flops / dt / 1e12:7.2f} TF/s")
+        nf = nflops if nflops is not None else flops
+        print(f"{name:40s} {dt * 1e3:9.2f} ms  {nf / dt / 1e12:7.2f} TF/s")
         if key:
-            results[key] = round(flops / dt, 1)
+            results[key] = round(nf / dt, 1)
         return dt
 
     BR, LT = 512, hs.LANE_TILE
@@ -205,11 +206,16 @@ def main():
     )
     results["hbm_rw"] = round(2 * wbytes / dt, 1)
 
-    # repo kernels at the same shapes
+    # repo kernels at the same shapes, rated at their OWN matmul FLOP
+    # counts (fwd: logits dot + cnt@p marginal = 2UT(H+L); bwd: logits
+    # recompute + p@gm^T + cnt^T@gm + dl@w^T + h^T@dl = 2UT(3H+2L)) — the
+    # r3 probe divided by ONE dot's flops and made the bwd look 4x off the
+    # MXU floor when it actually runs at ~3.25 dots of work
     timeit(
         "fused fwd kernel [highest]",
         lambda *a: hs.hpd_stream_fused_fwd(*a, K, "highest")[0],
         h, w, b, counts,
+        nflops=2 * U * T * (H + L), key="fused_fwd_highest",
     )
     vals, idx, m, s = jax.jit(
         lambda *a: hs.hpd_stream_select(*a, K, "highest")
@@ -220,6 +226,7 @@ def main():
         "fused bwd kernel [highest]",
         lambda *a: hs.hpd_stream_fused_bwd(*a, K, "highest")[0],
         h, w, b, counts, idx, vals, m, s, gmarg, gvals,
+        nflops=2 * U * T * (3 * H + 2 * L), key="fused_bwd_highest",
     )
 
     if args.json_out:
