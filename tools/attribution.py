@@ -293,11 +293,25 @@ def main():
     print(f"TOTAL step {t_step*1e3:.2f} ms/batch "
           f"({p / t_step / 1e3:.1f}K px/s at {batches.x.shape[0]} batches)")
 
+    u_rows = int(
+        dedup_ops.active_coords(dedup.active, side).shape[0]
+        if compacted else statics.unique_coords.shape[0]
+    )
     if args.json_out:
         with open(args.json_out, "w") as fh:
             json.dump({
                 "mode": args.mode, "precision": mcfg.matmul_precision,
                 "batch_rows": int(p), "reps": args.reps,
+                "unique_rows": u_rows,
+                "dims": {"H": int(mcfg.hpd_hidden[-1]),
+                         "T": int(mcfg.hash_table_size),
+                         "L": int(mcfg.num_levels),
+                         "K": int(mcfg.topk_k),
+                         "F": int(mcfg.feature_dim),
+                         "hpd_hidden": list(mcfg.hpd_hidden),
+                         "mlp_hidden": list(mcfg.mlp_hidden),
+                         "input_dim": int(mcfg.input_dim),
+                         "corners": int(mcfg.num_corners)},
                 "device_kind": jax.devices()[0].device_kind,
                 "rows": rows, "step_ms": round(t_step * 1e3, 2),
                 "stamp": time.strftime(

@@ -1,0 +1,98 @@
+"""Merge the per-stage attribution artifacts with the probed calibration
+rates into the VERDICT-r3 #5 deliverable: a table whose measured rows SUM to
+the training step by construction (telescoped prefixes,
+tools/attribution.py) next to per-stage MXU dot floors, so the unattributed
+room is a number, not a vibe.
+
+Floor model (scaled geometry, per batch; U = unique vertex rows, P = pixel
+rows, H = hpd_hidden[-1], T = table slots, L = levels, F = features):
+
+  hidden   fwd 2*U*sum(w_i*w_{i+1})          bwd 3x fwd (in-kernel-recompute
+           (input_dim..hpd_hidden chain)      backward: recompute + dW + dX)
+  tail     fwd 2*U*T*(H+L)                   bwd 2*U*T*(3H+2L)
+           (logits dot + count-marginal)      (recompute + p@gm^T + cnt@gm
+                                               + dl@w^T + h^T@dl)
+  decoder  fwd 2*P*sum(mlp chain)            bwd 2x fwd (dW + dX)
+  blend    gather/segment-sum: HBM-bound, no dot floor — measured directly
+           by tools/gather_probe.py (r3: gather 8.5 ms fwd, segment-sum
+           22.5 ms bwd at this geometry)
+  geometry/loss/optimizer: elementwise/VPU+HBM, no dot floor.
+
+Rates come from evidence/roofline_calibration.json (tools/mxu_probe.py run
+on the attached chip) at the matching precision key.
+
+Usage: python tools/floor_table.py [--json evidence/attribution_scaled_*.json]
+Prints a markdown table per artifact.
+"""
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def chain_macs(widths):
+    return sum(a * b for a, b in zip(widths, widths[1:]))
+
+
+def floors_ms(att, rate):
+    d = att["dims"]
+    u, p = att["unique_rows"], att["batch_rows"]
+    h, t, l, f = d["H"], d["T"], d["L"], d["F"]
+    hidden_macs = u * chain_macs([d["input_dim"]] + d["hpd_hidden"][:-1] + [h])
+    dec_macs = p * chain_macs([l * f] + d["mlp_hidden"] + [3])
+    ms = lambda flops: 1e3 * flops / rate
+    return {
+        "hidden": (ms(2 * hidden_macs), ms(2 * hidden_macs * 4)),
+        "tail": (
+            ms(2 * u * t * (h + l)),
+            ms(2 * u * t * (h + l)) + ms(2 * u * t * (3 * h + 2 * l)),
+        ),
+        "decoder": (ms(2 * dec_macs), ms(2 * dec_macs * 3)),
+    }
+
+
+def main(paths):
+    cal_path = os.path.join(REPO, "evidence", "roofline_calibration.json")
+    cal = json.load(open(cal_path)) if os.path.exists(cal_path) else {}
+    for path in paths:
+        att = json.load(open(path))
+        if "dims" not in att:
+            print(f"{path}: no dims recorded (pre-fix artifact), skipping")
+            continue
+        rates = cal.get(att["device_kind"], {})
+        rate = rates.get(att["precision"])
+        fl = floors_ms(att, rate) if rate else {}
+        print(f"\n## {os.path.basename(path)} — precision "
+              f"{att['precision']}, step {att['step_ms']} ms/batch")
+        print("| stage | Δfwd ms | Δ(f+b) ms | dot-floor fwd | "
+              "dot-floor f+b |")
+        print("|---|---|---|---|---|")
+        tot_f = tot_b = fl_f = fl_b = 0.0
+        for row in att["rows"]:
+            s = row["stage"]
+            df = row.get("d_fwd_ms")
+            db = row["d_fwdbwd_ms"]
+            ff, fb = fl.get(s, (None, None))
+            print(f"| {s} | {df if df is not None else '—'} | {db} | "
+                  f"{f'{ff:.1f}' if ff else '—'} | "
+                  f"{f'{fb:.1f}' if fb else '—'} |")
+            tot_f += df or 0.0
+            tot_b += db
+            fl_f += ff or 0.0
+            fl_b += fb or 0.0
+        print(f"| **sum** | {tot_f:.1f} | {tot_b:.1f} | {fl_f:.1f} | "
+              f"{fl_b:.1f} |")
+        if rate:
+            print(f"dot-floor share of step: {fl_b / att['step_ms']:.2f}; "
+                  f"non-floor room: {att['step_ms'] - fl_b:.1f} ms")
+
+
+if __name__ == "__main__":
+    import sys
+
+    args = sys.argv[1:]
+    main(args or sorted(
+        glob.glob(os.path.join(REPO, "evidence", "attribution_scaled_*.json"))
+    ))
