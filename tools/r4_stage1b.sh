@@ -6,7 +6,7 @@ cd "$(dirname "$0")/.."
 log=evidence/hw_r4_session.log
 run() {
   echo "=== $* ($(date -u +%H:%M:%S)) ===" >> "$log"
-  timeout 1500 "$@" 2>&1 | grep -v WARNING | tail -40 >> "$log"
+  timeout 2400 "$@" 2>&1 | grep -v WARNING | tail -40 >> "$log"
   echo "rc=${PIPESTATUS[0]}" >> "$log"
 }
 run python tools/attribution.py --mode scaled --json-out evidence/attribution_scaled_highest.json
