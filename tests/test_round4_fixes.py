@@ -95,3 +95,36 @@ def test_dynamic_encoding_lr_matches_static_and_scales_tables():
     # a different dynamic encoding_lr must actually reach the tables
     p_hot = run(True, 1e-2)
     assert not np.allclose(p_hot["tables"], p_dyn["tables"])
+
+
+def test_oracle_tqdm_fallback_parses_per_epoch_psnr(tmp_path):
+    """tools/summarize_oracle.tqdm_bests recovers best-PSNR-at-budget from
+    the reference's committed console logs (the per-epoch runs/ JSONLs are
+    gitignored and wiped between rounds; the tqdm bar text is the only
+    committed per-epoch record for the round-3 seeds)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "summarize_oracle",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "summarize_oracle.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    log = tmp_path / "reference_cold_demo.log"
+    log.write_text(
+        "Random seed: 9\nDevice: cuda\n"
+        "Training_psnr: 7.25:   0%|          | 1/450 [00:16<2:06:53, 16.9s/it]"
+        "Training_psnr: 9.50:  44%|████▍     | 200/450 [50:00<1:00:00, 15s/it]"
+        "Training_psnr: 8.75: 100%|██████████| 450/450 [1:50:00<00:00, 15s/it]"
+        "\nRandom seed: 11\nDevice: cuda\n"
+        "Training_psnr: 6.00:  11%|█         | 50/450 [12:00<1:40:00, 15s/it]"
+    )
+    # seed 9 ran to >=450: best at budget 450 is 9.50 (not the final 8.75);
+    # at budget 100 only the epoch-1 value is <=100 -> 7.25
+    assert dict(mod.tqdm_bests(str(log), 450)) == {9: 9.50}
+    assert dict(mod.tqdm_bests(str(log), 100)) == {9: 7.25}
+    # seed 11 stopped at epoch 50: excluded at budget 450, included at 50
+    assert dict(mod.tqdm_bests(str(log), 50)) == {9: 7.25, 11: 6.00}
