@@ -9,5 +9,5 @@ seed=$1
 export OMP_NUM_THREADS=${2:-2} MKL_NUM_THREADS=${2:-2}
 python tools/run_reference_cold.py 450 "$seed" > "evidence/reference_cold_seed${seed}.log" 2>&1
 rc=$?
-grep '"impl"' "evidence/reference_cold_seed${seed}.log" >> evidence/reference_cold_cpu.log
+grep -o '{"impl[^}]*}' "evidence/reference_cold_seed${seed}.log" >> evidence/reference_cold_cpu.log
 echo "seed $seed rc=$rc ($(date -u +%FT%TZ))"
