@@ -13,9 +13,11 @@ set -u -o pipefail
 cd "$(dirname "$0")/.."
 log=evidence/hw_r4_grid.log
 KILL_AFTER=${KILL_AFTER:-1500}
+START=${START:-3584}
+COUNT=${COUNT:-1024}
 
 echo "=== r4 grid sweep phase 1 (kill after ${KILL_AFTER}s) $(date -u +%FT%TZ) ===" >> "$log"
-python tools/run_grid_demo.py 3584 1024 300 1 8 r4grid >> "$log" 2>&1 &
+python tools/run_grid_demo.py "$START" "$COUNT" 300 1 8 r4grid >> "$log" 2>&1 &
 pid=$!
 sleep "$KILL_AFTER"
 if kill -0 "$pid" 2>/dev/null; then
@@ -28,6 +30,6 @@ else
 fi
 
 echo "=== r4 grid sweep phase 2 (manifest resume) $(date -u +%FT%TZ) ===" >> "$log"
-python tools/run_grid_demo.py 3584 1024 300 1 8 r4grid 2>&1 | grep -v WARNING | tail -20 >> "$log"
+python tools/run_grid_demo.py "$START" "$COUNT" 300 1 8 r4grid 2>&1 | grep -v WARNING | tail -20 >> "$log"
 echo "rc=${PIPESTATUS[0]}" >> "$log"
 echo "grid sweep done $(date -u +%FT%TZ)" >> "$log"
