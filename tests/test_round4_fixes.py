@@ -99,9 +99,11 @@ def test_dynamic_encoding_lr_matches_static_and_scales_tables():
 
 def test_oracle_tqdm_fallback_parses_per_epoch_psnr(tmp_path):
     """tools/summarize_oracle.tqdm_bests recovers best-PSNR-at-budget from
-    the reference's committed console logs (the per-epoch runs/ JSONLs are
-    gitignored and wiped between rounds; the tqdm bar text is the only
-    committed per-epoch record for the round-3 seeds)."""
+    the reference's committed console logs. The seed comes from the FILENAME,
+    not the in-log banner: the reference hardcodes random_seed=2**16-1 at
+    import time so every banner reads 65535 regardless of the seed trained
+    (ADVICE r4 medium — the banner-parsing version silently attributed other
+    seeds' curves to 65535)."""
     import importlib.util
     import os
 
@@ -113,18 +115,28 @@ def test_oracle_tqdm_fallback_parses_per_epoch_psnr(tmp_path):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    log = tmp_path / "reference_cold_demo.log"
-    log.write_text(
-        "Random seed: 9\nDevice: cuda\n"
+    bar = (
+        "Random seed: 65535\nDevice: cuda\n"  # banner always 65535 upstream
         "Training_psnr: 7.25:   0%|          | 1/450 [00:16<2:06:53, 16.9s/it]"
         "Training_psnr: 9.50:  44%|████▍     | 200/450 [50:00<1:00:00, 15s/it]"
         "Training_psnr: 8.75: 100%|██████████| 450/450 [1:50:00<00:00, 15s/it]"
-        "\nRandom seed: 11\nDevice: cuda\n"
+    )
+    log9 = tmp_path / "reference_cold_seed9.log"
+    log9.write_text(bar)
+    # seed from filename (banner says 65535); best at 450 is 9.50, not the
+    # final 8.75; at budget 100 only the epoch-1 value is <=100 -> 7.25
+    assert dict(mod.tqdm_bests(str(log9), 450)) == {9: 9.50}
+    assert dict(mod.tqdm_bests(str(log9), 100)) == {9: 7.25}
+    # budget-suffixed logs (r5_oracle.sh) parse the same way
+    log11 = tmp_path / "reference_cold_seed11_e1000.log"
+    log11.write_text(
+        "Random seed: 65535\nDevice: cuda\n"
         "Training_psnr: 6.00:  11%|█         | 50/450 [12:00<1:40:00, 15s/it]"
     )
-    # seed 9 ran to >=450: best at budget 450 is 9.50 (not the final 8.75);
-    # at budget 100 only the epoch-1 value is <=100 -> 7.25
-    assert dict(mod.tqdm_bests(str(log), 450)) == {9: 9.50}
-    assert dict(mod.tqdm_bests(str(log), 100)) == {9: 7.25}
-    # seed 11 stopped at epoch 50: excluded at budget 450, included at 50
-    assert dict(mod.tqdm_bests(str(log), 50)) == {9: 7.25, 11: 6.00}
+    assert dict(mod.tqdm_bests(str(log11), 50)) == {11: 6.00}
+    # incomplete at budget 450 -> excluded
+    assert dict(mod.tqdm_bests(str(log11), 450)) == {}
+    # the aggregate cpu log has no seed in its name -> never parsed
+    cpu = tmp_path / "reference_cold_cpu.log"
+    cpu.write_text(bar)
+    assert dict(mod.tqdm_bests(str(cpu), 450)) == {}

@@ -63,7 +63,7 @@ def main(paths):
             continue
         rates = cal.get(att["device_kind"], {})
         rate = rates.get(att["precision"])
-        fl = floors_ms(att, rate) if rate else {}
+        fl = floors_ms(att, rate) if rate is not None else {}
         print(f"\n## {os.path.basename(path)} — precision "
               f"{att['precision']}, step {att['step_ms']} ms/batch")
         print("| stage | Δfwd ms | Δ(f+b) ms | dot-floor fwd | "
@@ -75,16 +75,18 @@ def main(paths):
             df = row.get("d_fwd_ms")
             db = row["d_fwdbwd_ms"]
             ff, fb = fl.get(s, (None, None))
+            # explicit None checks: a legitimate 0.0 floor/rate must print as
+            # 0.0, not as missing (ADVICE r4 low)
             print(f"| {s} | {df if df is not None else '—'} | {db} | "
-                  f"{f'{ff:.1f}' if ff else '—'} | "
-                  f"{f'{fb:.1f}' if fb else '—'} |")
-            tot_f += df or 0.0
+                  f"{f'{ff:.1f}' if ff is not None else '—'} | "
+                  f"{f'{fb:.1f}' if fb is not None else '—'} |")
+            tot_f += df if df is not None else 0.0
             tot_b += db
-            fl_f += ff or 0.0
-            fl_b += fb or 0.0
+            fl_f += ff if ff is not None else 0.0
+            fl_b += fb if fb is not None else 0.0
         print(f"| **sum** | {tot_f:.1f} | {tot_b:.1f} | {fl_f:.1f} | "
               f"{fl_b:.1f} |")
-        if rate:
+        if rate is not None:
             print(f"dot-floor share of step: {fl_b / att['step_ms']:.2f}; "
                   f"non-floor room: {att['step_ms'] - fl_b:.1f} ms")
 

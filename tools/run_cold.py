@@ -32,9 +32,11 @@ from collision_handling_in_instantngp_tpu.utils.logging import JsonlLogger
 
 
 def main(epochs, seeds, precision=None, scaled=False, encoding_lr=None,
-         l_js_kl=None, l_collisions=None, no_hist=False):
+         l_js_kl=None, l_collisions=None, no_hist=False,
+         image="strawberry.jpeg"):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    data = load_image_dataset(os.path.join(repo, "images", "strawberry.jpeg"))
+    data = load_image_dataset(os.path.join(repo, "images", image))
+    stem = os.path.splitext(image)[0]
     tag = "" if not precision else f"_{precision}"
     if scaled:
         tag += "_scaled"
@@ -95,15 +97,16 @@ def main(epochs, seeds, precision=None, scaled=False, encoding_lr=None,
             exp, data,
             epochs=epochs,
             logger=JsonlLogger(
-                f"runs/strawberry_4061_cold_seed{seed}{tag}.jsonl"
+                f"runs/{stem}_4061_cold_seed{seed}{tag}.jsonl"
             ),
             collect_history=False,
             verbose=True,
-            run_name=f"cold_seed{seed}{tag}",
+            run_name=f"cold_{stem}_seed{seed}{tag}"
+            if stem != "strawberry" else f"cold_seed{seed}{tag}",
             epoch_span=33,  # 33 | 99 (=rate-1): only two compiled variants
         )
         print(json.dumps({
-            "image": "strawberry.jpeg", "grid_id": 4061, "seed": seed,
+            "image": image, "grid_id": 4061, "seed": seed,
             "precision": precision or "highest", "scaled": scaled,
             "epochs": res.epochs_run, "best_psnr": round(res.best_psnr, 4),
             "final_psnr": round(res.final_psnr, 4),
@@ -117,9 +120,12 @@ if __name__ == "__main__":
     encoding_lr = None
     l_js_kl = None
     l_collisions = None
+    image = "strawberry.jpeg"
     for a in sys.argv[1:]:
         if a.startswith("--precision="):
             precision = a.split("=", 1)[1]
+        elif a.startswith("--image="):
+            image = a.split("=", 1)[1]
         elif a.startswith("--encoding_lr="):
             encoding_lr = float(a.split("=", 1)[1])
         elif a.startswith("--l_js_kl="):
@@ -130,4 +136,4 @@ if __name__ == "__main__":
     seeds = [int(s) for s in args[1:]] or [65535]
     main(epochs, seeds, precision, scaled="--scaled" in sys.argv[1:],
          encoding_lr=encoding_lr, l_js_kl=l_js_kl, l_collisions=l_collisions,
-         no_hist="--no_hist" in sys.argv[1:])
+         no_hist="--no_hist" in sys.argv[1:], image=image)

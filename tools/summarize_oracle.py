@@ -11,6 +11,7 @@ Usage: python tools/summarize_oracle.py [budget=450]
 """
 
 import glob
+import gzip
 import json
 import os
 import re
@@ -21,10 +22,14 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _open(path):
+    return gzip.open(path, "rt") if path.endswith(".gz") else open(path)
+
+
 def best_at_budget(path, budget):
     best = None
     epochs = 0
-    with open(path) as fh:
+    with _open(path) as fh:
         for i, line in enumerate(fh):
             row = json.loads(line)
             # reference logs have no step key: rows are epoch-ordered
@@ -39,33 +44,46 @@ def best_at_budget(path, budget):
 
 
 def tqdm_bests(logpath, budget):
-    """Yield (seed, best_psnr_at_budget) for each complete-at-budget run in a
-    reference console log (which may hold several runs back to back)."""
+    """Yield (seed, best_psnr_at_budget) if this per-seed reference console
+    log is complete at the budget. The seed comes from the FILENAME
+    (reference_cold_seed{S}[_e{E}].log — one run per file by construction of
+    r4_oracle.sh/r5_oracle.sh); the in-log 'Random seed:' banner is only a
+    sanity check, because the reference's functions.py hardcodes
+    random_seed=2**16-1 at import time and every banner therefore reads
+    65535 regardless of the seed actually trained (ADVICE r4 medium)."""
+    m = re.search(r"reference_cold_seed(\d+)(?:_e\d+)?\.log$", logpath)
+    if not m:
+        return
+    seed = int(m.group(1))
     text = open(logpath, errors="replace").read()
-    # split into per-run chunks on the seed banner
-    chunks = re.split(r"Random seed: (\d+)", text)
-    for i in range(1, len(chunks) - 1, 2):
-        seed, body = int(chunks[i]), chunks[i + 1]
-        best, max_epoch = None, 0
-        for m in re.finditer(
-            r"Training_psnr: ([0-9.]+)[^|]*\|[^|]*\| (\d+)/\d+", body
-        ):
-            psnr, epoch = float(m.group(1)), int(m.group(2))
-            max_epoch = max(max_epoch, epoch)
-            if epoch <= budget and (best is None or psnr > best):
-                best = psnr
-        if best is not None and max_epoch >= budget:
-            yield seed, best
+    best, max_epoch = None, 0
+    for m in re.finditer(
+        r"Training_psnr: ([0-9.]+)[^|]*\|[^|]*\| (\d+)/\d+", text
+    ):
+        psnr, epoch = float(m.group(1)), int(m.group(2))
+        max_epoch = max(max_epoch, epoch)
+        if epoch <= budget and (best is None or psnr > best):
+            best = psnr
+    if best is not None and max_epoch >= budget:
+        yield seed, best
 
 
 def main(budget=450):
     ref = {}
-    # Primary source: per-epoch JSONLs from tools/run_reference_cold.py.
-    for path in sorted(glob.glob(os.path.join(REPO, "runs", "reference_cold_seed*.jsonl"))):
-        m = re.search(r"seed(\d+)\.jsonl$", path)
+    # Primary sources: per-epoch JSONLs from tools/run_reference_cold.py
+    # (live in runs/, committed gzipped in evidence/).
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "runs", "reference_cold_seed*.jsonl"))
+        + glob.glob(
+            os.path.join(REPO, "evidence", "reference_cold_seed*.jsonl.gz")
+        )
+    ):
+        m = re.search(r"seed(\d+)(?:_e\d+)?\.jsonl(?:\.gz)?$", path)
         if not m:
             continue
         seed = int(m.group(1))
+        if seed in ref:
+            continue
         best, epochs = best_at_budget(path, budget)
         if best is not None and epochs >= budget:
             ref[seed] = best
@@ -82,7 +100,11 @@ def main(budget=450):
                 row = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if row.get("epoch_budget") == budget and row["seed"] not in ref:
+            if (
+                row.get("epoch_budget") == budget
+                and row.get("epochs_run", 0) >= budget
+                and row["seed"] not in ref
+            ):
                 ref[row["seed"]] = row["best_psnr"]
     # Last resort, any budget: the reference's tqdm bar text embeds the
     # per-epoch Training_psnr next to the epoch counter; parse the committed
@@ -97,16 +119,21 @@ def main(budget=450):
 
     rows = []
     for seed, rbest in sorted(ref.items()):
-        ours_path = os.path.join(
-            REPO, "runs", f"strawberry_4061_cold_seed{seed}.jsonl"
-        )
         obest = None
-        if os.path.exists(ours_path):
+        for ours_path in (
+            os.path.join(REPO, "runs", f"strawberry_4061_cold_seed{seed}.jsonl"),
+        ) + tuple(sorted(glob.glob(os.path.join(
+            REPO, "evidence", f"rebuild_cold*_seed{seed}.jsonl.gz"
+        )))):
+            if not os.path.exists(ours_path):
+                continue
             obest, oe = best_at_budget(ours_path, budget)
             if oe < budget:
                 obest = None
+            if obest is not None:
+                break
         rows.append({"seed": seed, "reference": round(rbest, 3),
-                     "rebuild": round(obest, 3) if obest else None})
+                     "rebuild": round(obest, 3) if obest is not None else None})
         print(json.dumps(rows[-1]))
 
     rvals = np.array([r["reference"] for r in rows], dtype=np.float64)
@@ -125,18 +152,19 @@ def main(budget=450):
             round(float(ovals.std(ddof=1)), 3) if len(ovals) > 1 else None
         ),
     }
-    if len(rvals) > 1 and len(ovals) > 1:
-        # Welch t on the paired-seed samples (small n — indicative, not
-        # decisive; the honest statement quotes both distributions)
-        se = np.sqrt(rvals.var(ddof=1) / len(rvals) + ovals.var(ddof=1) / len(ovals))
+    # Welch t restricted to seeds present in BOTH implementations (ADVICE
+    # r4 low: mixing all reference seeds with only-paired rebuild seeds
+    # reports a non-matched comparison alongside a paired mean diff).
+    paired_rows = [r for r in rows if r["rebuild"] is not None]
+    if len(paired_rows) > 1:
+        pr = np.array([r["reference"] for r in paired_rows], dtype=np.float64)
+        po = np.array([r["rebuild"] for r in paired_rows], dtype=np.float64)
+        se = np.sqrt(pr.var(ddof=1) / len(pr) + po.var(ddof=1) / len(po))
         out["welch_t_rebuild_minus_ref"] = round(
-            float((ovals.mean() - rvals.mean()) / se), 2
+            float((po.mean() - pr.mean()) / se), 2
         )
-        paired = [
-            (r["rebuild"] - r["reference"]) for r in rows
-            if r["rebuild"] is not None
-        ]
-        out["paired_diff_mean"] = round(float(np.mean(paired)), 3)
+        out["n_paired"] = len(paired_rows)
+        out["paired_diff_mean"] = round(float((po - pr).mean()), 3)
     print(json.dumps(out))
 
 
