@@ -918,3 +918,86 @@ def hpd_tail_unique_pallas_bwd(
         idx_pad, gv_pad, dot_pad,
     )
     return dh[:u], dw, db.reshape(t)
+
+
+# --------------------------------------------------------------------------- #
+# Cost-decomposition probes (VERDICT r4 weak #6)                               #
+# --------------------------------------------------------------------------- #
+# The per-stage attribution's "tail VPU sweep ~23 ms" row was arithmetic
+# (U*T*K compares at an assumed 4 T op/s), not a measurement. These probe
+# variants run the REAL fused-forward kernel structure with later phases
+# removed, so telescoped differences measure each phase in place:
+#
+#   dots     per lane tile: the (R, H) @ (H, TT) MXU matmul + a 1-pass sum
+#            (the cheapest possible reduction that keeps the dot alive)
+#   softmax  + online max / exp / sum-exp (no top-k, no e-cache write)
+#   then hpd_stream_fused_fwd(need_marginal=False) adds the K-pass top-k
+#   merge and the e-cache write, and need_marginal=True adds the marginal
+#   accumulation — four rungs, three measured deltas.
+
+
+def _fused_probe_kernel(h_ref, w_ref, b_ref, m_ref, s_ref, *,
+                        lane_tile: int, precision: str, variant: str):
+    r = h_ref.shape[0]
+    t = w_ref.shape[1]
+    nt = t // lane_tile
+    if variant == "dots":
+        acc = jnp.zeros((r, 1), jnp.float32)
+        for j in range(nt):
+            tile = pl.ds(j * lane_tile, lane_tile)
+            logits = _kdot(h_ref[:], w_ref[:, tile], precision) + b_ref[:, tile]
+            acc = acc + jnp.sum(logits, axis=-1, keepdims=True)
+        m_ref[:] = acc
+        s_ref[:] = acc
+    else:  # online softmax (max + exp + sum-exp), the fused fwd's substrate
+        m_run = jnp.full((r, 1), -jnp.inf, jnp.float32)
+        s_run = jnp.zeros((r, 1), jnp.float32)
+        for j in range(nt):
+            tile = pl.ds(j * lane_tile, lane_tile)
+            logits = _kdot(h_ref[:], w_ref[:, tile], precision) + b_ref[:, tile]
+            m_new = jnp.maximum(m_run, jnp.max(logits, axis=-1, keepdims=True))
+            s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(
+                jnp.exp(logits - m_new), axis=-1, keepdims=True
+            )
+            m_run = m_new
+        m_ref[:] = m_run
+        s_ref[:] = s_run
+
+
+def hpd_stream_fused_probe(
+    h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+    precision: str = "highest", variant: str = "softmax",
+    interpret: bool = False,
+):
+    """(m, s) per row under the reduced kernel — see module comment above."""
+    precision = _kernel_precision(precision)
+    u, hd = h.shape
+    t = w.shape[1]
+    block = _fused_rows(t)
+    h_pad = _pad_rows_2d(h, block)
+    u_pad = h_pad.shape[0]
+    c = u_pad // block
+    row = lambda width: pl.BlockSpec(
+        (block, width), lambda ci: (ci, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda s0, s1: pl.BlockSpec(
+        (s0, s1), lambda ci: (0, 0), memory_space=pltpu.VMEM
+    )
+    m, s = pl.pallas_call(
+        functools.partial(
+            _fused_probe_kernel, lane_tile=LANE_TILE,
+            precision=precision, variant=variant,
+        ),
+        grid=(c,),
+        in_specs=[row(hd), full(hd, t), full(1, t)],
+        out_specs=[row(1), row(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((u_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((u_pad, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=72 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(h_pad, w, b.reshape(1, t))
+    return m[:u], s[:u]
