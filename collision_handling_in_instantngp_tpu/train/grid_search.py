@@ -68,6 +68,7 @@ def run_grid_search(
     compile_cache: bool = True,
     ensemble_size: int = 1,
     log_image_every: Optional[int] = None,
+    ids: Optional[Sequence[int]] = None,
 ) -> List[Dict[str, Any]]:
     """Sweep configs [start_id, end_id] (inclusive start, exclusive end like the
     reference's slice at functions.py:503). Returns one summary row per config
@@ -89,13 +90,23 @@ def run_grid_search(
         shard_index = jax.process_index()
         shard_count = jax.process_count()
     grid = get_grid_search_configs()
-    end_id = len(grid) if end_id is None else end_id
-    if not (0 <= start_id <= len(grid)) or end_id > len(grid):
-        raise ValueError(
-            f"grid id range [{start_id}, {end_id}) out of bounds — "
-            f"the filtered grid has {len(grid)} configs (ids 0..{len(grid)-1})"
-        )
-    ids: Sequence[int] = range(start_id, end_id)
+    if ids is None:
+        end_id = len(grid) if end_id is None else end_id
+        if not (0 <= start_id <= len(grid)) or end_id > len(grid):
+            raise ValueError(
+                f"grid id range [{start_id}, {end_id}) out of bounds — "
+                f"the filtered grid has {len(grid)} configs "
+                f"(ids 0..{len(grid)-1})"
+            )
+        ids = range(start_id, end_id)
+    else:
+        # explicit id list (e.g. full-budget re-runs of screening winners)
+        bad = [i for i in ids if not 0 <= i < len(grid)]
+        if bad:
+            raise ValueError(
+                f"grid ids out of bounds: {bad[:5]} — the filtered grid has "
+                f"{len(grid)} configs (ids 0..{len(grid)-1})"
+            )
     ids = [i for i in ids][shard_index::shard_count]
 
     done = load_manifest(manifest_path) if manifest_path else {}

@@ -9,9 +9,13 @@ compile-sharing EpochFnCache so same-shape configs reuse one XLA program.
 
 Usage: python tools/run_grid_demo.py [start=4048] [count=32] [epochs=300]
                                      [shards=2] [ensemble=1] [manifest-tag]
+                                     [stride=1]
 Prints one JSON summary line; manifest in runs/grid_demo{tag}_manifest.jsonl.
 ensemble>1 trains that many same-shape configs per vmapped program
 (trainer.fit_ensemble) — one compile per shape class for the whole group.
+stride>1 runs a STRATIFIED sample — ids start, start+stride, ... (count of
+them), covering the whole 48,000-id space instead of one contiguous slice
+(VERDICT r4 #3).
 """
 
 import json
@@ -27,11 +31,12 @@ from collision_handling_in_instantngp_tpu.train.grid_search import (
 )
 
 
-def main(start, count, epochs, shards, ensemble=1, tag=""):
+def main(start, count, epochs, shards, ensemble=1, tag="", stride=1):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data = load_image_dataset(os.path.join(repo, "images", "strawberry.jpeg"))
     manifest = f"runs/grid_demo{tag}_manifest.jsonl"
 
+    ids = None if stride == 1 else list(range(start, start + count * stride, stride))
     t0 = time.perf_counter()
     all_rows = []
     for shard in range(shards):
@@ -46,6 +51,7 @@ def main(start, count, epochs, shards, ensemble=1, tag=""):
             verbose=False,
             epoch_span=33,
             ensemble_size=ensemble,
+            ids=ids,
         )
         all_rows.extend(rows)
         print(json.dumps({"shard": shard, "configs": len(rows),
@@ -77,4 +83,5 @@ if __name__ == "__main__":
         int(a[3]) if len(a) > 3 else 2,
         int(a[4]) if len(a) > 4 else 1,
         a[5] if len(a) > 5 else "",
+        int(a[6]) if len(a) > 6 else 1,
     )
