@@ -94,6 +94,21 @@ def main():
         seg_scatter_sorted, idx, w, g,
     )
 
+    def seg_scatter_vmem(i, ww, gg):
+        from collision_handling_in_instantngp_tpu.ops.pallas.scatter_probe import (
+            scatter_add_vmem,
+        )
+
+        rows = (
+            ww[:, :, None] * gg.transpose(1, 0, 2).reshape(U, 1, L * F)
+        ).reshape(U * K, L * F)
+        return scatter_add_vmem(rows, i.reshape(-1), T)
+
+    timeit(
+        "VMEM serial scatter-add -> (T, 32) [pallas probe]",
+        seg_scatter_vmem, idx, w, g,
+    )
+
     # today's forms
     timeit("blend fwd today (S-matrix)", enc._blend_core, tables, idx, w)
 
