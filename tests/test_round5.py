@@ -85,3 +85,45 @@ def test_fused_probe_rungs_match_dense(rng):
     np.testing.assert_allclose(
         np.asarray(md)[:, 0], np.asarray(logits.sum(-1)), rtol=1e-4
     )
+
+
+def test_collision_loss_term_is_gradient_inert(rng, tmp_path):
+    """The collision-loss term is a constant computed from the PREVIOUS
+    epoch's counts under no-grad (reference utils.py:108; train/loss.py) —
+    zeroing l_collisions must leave the parameter trajectory bit-identical,
+    with only the logged total loss shifted by the dropped constant. This is
+    the mechanism claim behind the round-5 scaled ablation
+    (tools/mechanism_study.py --diff), pinned here at test scale."""
+    import dataclasses
+
+    from collision_handling_in_instantngp_tpu.train.trainer import fit
+
+    data = _tiny_data(rng)
+    base = _small_exp(tmp_path / "a", epochs=12)
+    res_full = fit(base, data, verbose=False)
+    arm = dataclasses.replace(
+        base,
+        loss=dataclasses.replace(base.loss, l_collisions=0.0),
+        train=dataclasses.replace(
+            base.train, checkpoint_dir=str(tmp_path / "b" / "weights")
+        ),
+    )
+    res_arm = fit(arm, data, verbose=False)
+    assert len(res_full.history) == len(res_arm.history) == 12
+    for rf, ra in zip(res_full.history, res_arm.history):
+        # bitwise: the gradient paths are identical programs
+        assert rf["train_psnr"] == ra["train_psnr"]
+        assert rf["mse_loss"] == ra["mse_loss"]
+        for l in range(base.model.num_levels):
+            assert rf[f"collisions_level{l}"] == ra[f"collisions_level{l}"]
+    # total loss differs by exactly the weighted collision constant
+    lw = base.loss.l_collisions
+    for rf, ra in zip(res_full.history, res_arm.history):
+        const = sum(
+            rf[f"collisions_loss_level{l}"]
+            for l in range(base.model.num_levels)
+        )
+        np.testing.assert_allclose(
+            rf["train_loss"] - ra["train_loss"], lw * const,
+            rtol=1e-5, atol=1e-7,
+        )
