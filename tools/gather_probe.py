@@ -26,7 +26,10 @@ U, H, T, L, K, F = 162304, 128, 16384, 16, 4, 2
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--json-out", default="",
+                    help="write {label: ms} to this path")
     args = ap.parse_args()
+    recorded = {}
 
     import jax
     import jax.numpy as jnp
@@ -54,6 +57,7 @@ def main():
         jax.device_get(out)
         dt = (time.perf_counter() - t0) / args.reps
         print(f"{name:44s} {dt * 1e3:9.2f} ms")
+        recorded[name] = round(dt * 1e3, 2)
         return dt
 
     tables2 = tables.transpose(1, 0, 2).reshape(T, L * F)      # (T, 32)
@@ -118,6 +122,17 @@ def main():
         )
 
     timeit("blend bwd today (S-matrix VJP)", blend_bwd, tables, idx, w, g)
+
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump({
+                "shape": {"U": U, "T": T, "L": L, "K": K, "F": F},
+                "device_kind": jax.devices()[0].device_kind,
+                "reps": args.reps,
+                "ms": recorded,
+            }, f, indent=1)
 
 
 if __name__ == "__main__":

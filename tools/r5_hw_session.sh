@@ -27,7 +27,7 @@ run() {
 run python bench.py
 run python bench.py --mode scaled
 run python tools/sweep_probe.py --json-out evidence/sweep_probe.json
-run python tools/gather_probe.py
+run python tools/gather_probe.py --json-out evidence/gather_probe.json
 run python tools/usage_stats.py \
   weights/4061_cold_seed65535_scaled_elr0.01 \
   weights/4061_cold_seed65535_scaled_elr0.01_lcoll0 \
