@@ -148,6 +148,10 @@ def main():
 
     # ---- cumulative prefixes (mirror gngf.forward's use_dedup branch) ----
     def prefix(params, upto):
+        if upto == "noop":
+            # dispatch/transfer/probe baseline: everything a prefix pays
+            # before any model math, so the geometry row stops absorbing it
+            return probe(bx) + probe(params)
         scaled, corners = scale_to_grid(bx, n_ls, offsets)
         scaled = jax.lax.stop_gradient(scaled)
         ucoords = (
@@ -213,7 +217,8 @@ def main():
         )
         return aux.total
 
-    STAGES = ["geometry", "hidden", "tail", "blend", "decoder", "loss"]
+    STAGES = ["noop", "geometry", "hidden", "tail", "blend", "decoder",
+              "loss"]
 
     # fidelity check: the mirrored pipeline must compute the REAL model's
     # loss, or the stage attribution is attributing a different program

@@ -33,6 +33,9 @@ run python tools/usage_stats.py \
   weights/4061_cold_seed65535_scaled_elr0.01_lcoll0 \
   weights/4061_cold_seed65535_scaled_elr0.01_jskl0_lcoll0
 
+T=2400 run python tools/attribution.py --precision default \
+  --json-out evidence/attribution_scaled_default.json
+
 T=3600 run python tools/rerank_top.py evidence/grid_demor4grid_manifest.jsonl 20 5000
 
 # ensemble-size probe: same 64 stratified ids at each size, fresh manifests
