@@ -13,6 +13,11 @@ reference params.py:45-48). Appends to its own manifest so the run is
 kill-resumable like every sweep.
 
 Usage: python tools/rerank_top.py [screening_manifest] [top_n] [epochs]
+                                  [ensemble_size]
+
+ensemble_size>1 trains same-shape winners through ``fit_ensemble`` (one
+vmapped program per shape class) — manifest rows are identical to the
+sequential path (grid_search._run_ensembled).
 """
 
 import json
@@ -42,7 +47,7 @@ def pick_ids(manifest_path, top_n):
     return winners, ref
 
 
-def main(manifest_path=DEFAULT, top_n=20, epochs=5000):
+def main(manifest_path=DEFAULT, top_n=20, epochs=5000, ensemble=1):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     winners, ref_row = pick_ids(manifest_path, top_n)
     ids = winners + [4061]
@@ -56,6 +61,7 @@ def main(manifest_path=DEFAULT, top_n=20, epochs=5000):
         manifest_path="runs/rerank_full_manifest.jsonl",
         verbose=False,
         epoch_span=33,
+        ensemble_size=ensemble,
     )
     rows.sort(key=lambda r: -r["best_psnr"])
     ref = next((r for r in rows if r["grid_id"] == 4061), None)
@@ -82,4 +88,5 @@ if __name__ == "__main__":
     a = sys.argv[1:]
     main(a[0] if len(a) > 0 else DEFAULT,
          int(a[1]) if len(a) > 1 else 20,
-         int(a[2]) if len(a) > 2 else 5000)
+         int(a[2]) if len(a) > 2 else 5000,
+         int(a[3]) if len(a) > 3 else 1)
