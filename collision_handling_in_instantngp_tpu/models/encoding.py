@@ -156,6 +156,17 @@ def _blend_core(tables, idx_unique, w):
 # write bandwidth); segment-sum dt 22.5 ms vs S-matrix bwd 51 ms.
 BLEND_LARGE_BACKEND = "gather"
 
+# table-gradient reduction inside the gather backend: "segment_sum" (XLA
+# scatter-add) or "vmem_serial" (Pallas kernel holding the (T, L*F) = 2 MB
+# accumulator VMEM-resident for the whole reduction —
+# ops/pallas/scatter_probe.py; candidate from the r4 floor table's 22.5 ms
+# segment-sum row). Both are deterministic; they accumulate in different
+# orders, so flipping the backend changes fp32 trajectories within rounding
+# (same class as a precision-mode change, not a semantics change).
+BLEND_SCATTER_BACKEND = "segment_sum"
+# interpret-mode twin for CPU tests of the pallas path
+BLEND_SCATTER_INTERPRET = False
+
 
 def _blend_core_impl(tables, idx_unique, w):
     l, t, f = tables.shape
@@ -230,9 +241,17 @@ def _blend_core_bwd(res, g):
             rows.reshape(u, k, l * f) * g2[:, None, :], axis=-1
         )                                                      # (U, K)
         scaled = (w[:, :, None] * g2[:, None, :]).reshape(u * k, l * f)
-        dt2 = jax.ops.segment_sum(
-            scaled, idx.reshape(-1), num_segments=t
-        )                                                      # (T, LF)
+        if BLEND_SCATTER_BACKEND == "vmem_serial":
+            from ..ops.pallas.scatter_probe import scatter_add_vmem
+
+            dt2 = scatter_add_vmem(
+                scaled, idx.reshape(-1), t,
+                interpret=BLEND_SCATTER_INTERPRET,
+            )                                                  # (T, LF)
+        else:
+            dt2 = jax.ops.segment_sum(
+                scaled, idx.reshape(-1), num_segments=t
+            )                                                  # (T, LF)
         dt = dt2.reshape(t, l, f).transpose(1, 0, 2)
         return dt, None, dw
     chunk = max(256, min(u, _BLEND_CHUNK_BUDGET // max(t, 1)))

@@ -146,3 +146,42 @@ def test_gather_form_vjp_unchanged(rng):
     np.testing.assert_allclose(
         np.asarray(dt_c), np.asarray(dt_r), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.fixture
+def vmem_scatter_forced(monkeypatch):
+    """Gather backend with the Pallas VMEM-serial table-grad reduction
+    (interpret mode — CPU twin of the TPU kernel)."""
+    monkeypatch.setattr(enc, "_BLEND_SMATRIX_MIN_ELEMENTS", 0)
+    monkeypatch.setattr(enc, "BLEND_LARGE_BACKEND", "gather")
+    monkeypatch.setattr(enc, "BLEND_SCATTER_BACKEND", "vmem_serial")
+    monkeypatch.setattr(enc, "BLEND_SCATTER_INTERPRET", True)
+
+
+def test_vmem_scatter_vjp_matches_oracle(rng, vmem_scatter_forced):
+    """The vmem_serial table-grad backend must reproduce the segment-sum
+    gradients (different accumulation order — fp32 tolerance, not bitwise;
+    idx rows here include duplicate slots across rows, exercising the
+    read-modify-write accumulation)."""
+    tables, idx, w = _setup(rng)
+    g = jnp.asarray(rng.standard_normal((L, U, F)).astype(np.float32))
+
+    def loss_custom(tables, w):
+        return jnp.sum(enc._blend_core(tables, idx, w) * g)
+
+    def loss_ref(tables, w):
+        gathered = jnp.take(
+            tables.reshape(L * T, F),
+            idx[:, None, :] + (jnp.arange(L) * T)[None, :, None],
+            axis=0,
+        )
+        return jnp.sum(jnp.einsum("ulkf,uk->luf", gathered, w) * g)
+
+    dt_c, dw_c = jax.grad(loss_custom, argnums=(0, 1))(tables, w)
+    dt_r, dw_r = jax.grad(loss_ref, argnums=(0, 1))(tables, w)
+    np.testing.assert_allclose(
+        np.asarray(dt_c), np.asarray(dt_r), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dw_c), np.asarray(dw_r), rtol=1e-5, atol=1e-6
+    )
