@@ -12,6 +12,7 @@ parallel/).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -163,7 +164,10 @@ BLEND_LARGE_BACKEND = "gather"
 # segment-sum row). Both are deterministic; they accumulate in different
 # orders, so flipping the backend changes fp32 trajectories within rounding
 # (same class as a precision-mode change, not a semantics change).
-BLEND_SCATTER_BACKEND = "segment_sum"
+# Env-overridable for A/B probes (BLEND_SCATTER_BACKEND=segment_sum|vmem_serial).
+BLEND_SCATTER_BACKEND = os.environ.get(
+    "BLEND_SCATTER_BACKEND", "segment_sum"
+)
 # interpret-mode twin for CPU tests of the pallas path
 BLEND_SCATTER_INTERPRET = False
 

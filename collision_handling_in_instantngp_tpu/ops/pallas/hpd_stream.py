@@ -45,6 +45,7 @@ VMEM at the default R=512, TT=2048, H=128: logits tile 4 MB + w tile 1 MB
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -376,6 +377,91 @@ def fused_supports(t: int, k: int, hd: int) -> bool:
     )
 
 
+# Per-tile top-k algorithm inside the fused forward sweep:
+#   "argmax"  — K argmax/mask passes per lane tile (original form)
+#   "colfold" — elementwise per-128-lane-column folds + one final lane phase
+#               per ROW BLOCK. Bitwise-identical selection (identical
+#               first-lowest-global-index tie rule, comparisons only — no
+#               arithmetic on the selected values), but the hot loop has no
+#               cross-lane reduction trees at all. Motivation: sweep_probe
+#               measured the argmax variant's top-k+cache phase at 42-56
+#               ms/batch at the scaled tail shape — ~4-5x the elementwise
+#               cost of the same data (evidence/sweep_probe.json); the
+#               per-(R,) lane-axis argmax/max trees are the pathology.
+# Env-overridable for A/B probes (TOPK_SWEEP_VARIANT=argmax|colfold).
+TOPK_SWEEP_VARIANT = os.environ.get("TOPK_SWEEP_VARIANT", "colfold")
+# candidate scratch cap for colfold: nt*k*128 lanes of f32+i32 per block row
+_COLFOLD_MAX_CAND_LANES = 8192
+
+
+def _colfold_supported(t: int, k: int) -> bool:
+    return (t // LANE_TILE) * k * 128 <= _COLFOLD_MAX_CAND_LANES
+
+
+def _online_topk_sweep_colfold(
+    h_ref, w_ref, b_ref, cache_scr, mh_scr, cv_scr, ci_scr,
+    k, lane_tile, precision, r, t,
+):
+    """colfold sweep (see TOPK_SWEEP_VARIANT): per tile, k rounds of
+    (elementwise max-fold over the lane_tile//128 sub-columns, first-index
+    recovery, single-element mask) park per-column candidates in VMEM lane
+    scratch; after all tiles, one k-pass lane phase picks the global top-k
+    by (value, lowest global index) — exactly the argmax variant's tie rule.
+    The online-softmax statistics and e-cache are byte-identical to the
+    argmax variant (same exp/sum code)."""
+    nt = t // lane_tile
+    sub = lane_tile // 128
+    m_run = jnp.full((r, 1), -jnp.inf, jnp.float32)
+    s_run = jnp.zeros((r, 1), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
+    for j in range(nt):
+        tile = pl.ds(j * lane_tile, lane_tile)
+        logits = (
+            _kdot(h_ref[:], w_ref[:, tile], precision)
+            + b_ref[:, tile]
+        )                                                      # (R, TT)
+        work = [logits[:, 128 * s : 128 * (s + 1)] for s in range(sub)]
+        tile_max = None
+        for p in range(k):
+            m = work[0]
+            for s in range(1, sub):
+                m = jnp.maximum(m, work[s])                    # (R, 128)
+            # first (lowest) sub-column attaining m, per lane column
+            ams = jnp.full((r, 128), sub, jnp.int32)
+            for s in range(sub - 1, -1, -1):
+                ams = jnp.where(work[s] == m, s, ams)
+            # mask exactly the winning element of each column
+            for s in range(sub):
+                work[s] = jnp.where(ams == s, -jnp.inf, work[s])
+            off = (j * k + p) * 128
+            cv_scr[:, pl.ds(off, 128)] = m
+            ci_scr[:, pl.ds(off, 128)] = (
+                ams * 128 + lane + j * lane_tile
+            )
+            if p == 0:
+                tile_max = jnp.max(m, axis=-1, keepdims=True)  # (R, 1)
+        m_new = jnp.maximum(m_run, tile_max)
+        e = jnp.exp(logits - m_new)                            # (R, TT)
+        cache_scr[:, tile] = e
+        mh_scr[:, j : j + 1] = m_new
+        s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(
+            e, axis=-1, keepdims=True
+        )
+        m_run = m_new
+    # final lane phase: global top-k of the nt*k per-column candidates —
+    # min-global-index tie rule reproduces argmax-first-occurrence exactly
+    cv = cv_scr[:, : nt * k * 128]
+    ci = ci_scr[:, : nt * k * 128]
+    rv_cols, ri_cols = [], []
+    for _ in range(k):
+        m = jnp.max(cv, axis=-1)
+        sel = jnp.min(jnp.where(cv == m[:, None], ci, t), axis=-1)
+        rv_cols.append(m)
+        ri_cols.append(sel)
+        cv = jnp.where(ci == sel[:, None], -jnp.inf, cv)
+    return m_run, s_run, jnp.stack(rv_cols, -1), jnp.stack(ri_cols, -1)
+
+
 def _online_topk_sweep(h_ref, w_ref, b_ref, cache_scr, mh_scr, k, lane_tile,
                        precision, r, t):
     """Pass 1 shared by the fused forward: per lane tile, one MXU matmul,
@@ -437,15 +523,23 @@ def _online_topk_sweep(h_ref, w_ref, b_ref, cache_scr, mh_scr, k, lane_tile,
 def _fused_fwd_kernel(
     h_ref, w_ref, b_ref, cnt_ref,
     marg_ref, vals_ref, idx_ref, m_ref, s_ref,
-    cache_scr, mh_scr,
-    *, k: int, lane_tile: int, need_marginal: bool, precision: str,
+    cache_scr, mh_scr, *topk_scr,
+    k: int, lane_tile: int, need_marginal: bool, precision: str,
 ):
     ci = pl.program_id(0)
     r = h_ref.shape[0]
     t = w_ref.shape[1]
-    m_run, s_run, rv, ri = _online_topk_sweep(
-        h_ref, w_ref, b_ref, cache_scr, mh_scr, k, lane_tile, precision, r, t
-    )
+    if topk_scr:                                               # colfold
+        cv_scr, ci_scr = topk_scr
+        m_run, s_run, rv, ri = _online_topk_sweep_colfold(
+            h_ref, w_ref, b_ref, cache_scr, mh_scr, cv_scr, ci_scr,
+            k, lane_tile, precision, r, t,
+        )
+    else:
+        m_run, s_run, rv, ri = _online_topk_sweep(
+            h_ref, w_ref, b_ref, cache_scr, mh_scr, k, lane_tile, precision,
+            r, t,
+        )
     vals_ref[:] = jnp.exp(rv - m_run) / s_run
     idx_ref[:] = ri
     m_ref[:] = m_run
@@ -479,6 +573,9 @@ def hpd_stream_fused_fwd(
     u, hd = h.shape
     t = w.shape[1]
     l = counts.shape[0]
+    colfold = (
+        TOPK_SWEEP_VARIANT == "colfold" and _colfold_supported(t, k)
+    )
     block = _fused_rows(t)
     h_pad = _pad_rows_2d(h, block)
     u_pad = h_pad.shape[0]
@@ -521,11 +618,22 @@ def hpd_stream_fused_fwd(
         scratch_shapes=[
             pltpu.VMEM((block, t), jnp.float32),
             pltpu.VMEM((block, t // LANE_TILE), jnp.float32),
-        ],
+        ] + (
+            [
+                pltpu.VMEM(
+                    (block, (t // LANE_TILE) * k * 128), jnp.float32
+                ),
+                pltpu.VMEM(
+                    (block, (t // LANE_TILE) * k * 128), jnp.int32
+                ),
+            ]
+            if colfold
+            else []
+        ),
         # e-cache (16M) + resident weight (8M at T=2^14) + marginal block +
-        # double-buffered row blocks
+        # double-buffered row blocks (+ colfold candidate lanes, ≤8M x2)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=72 * 1024 * 1024
+            vmem_limit_bytes=(96 if colfold else 72) * 1024 * 1024
         ),
         interpret=interpret,
     )(h_pad, w, b.reshape(1, t), counts_pad)

@@ -259,3 +259,27 @@ def test_entry_points_accept_all_precisions(rng):
                 h, w, b, counts, idx, vals, m, s, gm, gv, K,
                 precision=prec, interpret=True,
             )
+
+
+def test_colfold_sweep_bitwise_matches_argmax(rng, monkeypatch):
+    """The colfold top-k sweep variant must select BITWISE-identical
+    (vals, idx, m, s, marginal) to the argmax variant — it is comparisons
+    only, with the same first-lowest-global-index tie rule. Duplicated
+    logit values are planted to exercise the tie paths."""
+    h, w, b, counts = _setup(rng)
+    # plant exact duplicates of some large values across tiles and columns
+    w = np.array(w)
+    # same column in both tiles and two columns in one tile
+    w[:, 37] = w[:, hpd_stream.LANE_TILE + 37]
+    w[:, 1] = w[:, hpd_stream.LANE_TILE + 129]
+    import jax.numpy as jnp
+
+    w = jnp.asarray(w)
+    outs = {}
+    for variant in ("argmax", "colfold"):
+        monkeypatch.setattr(hpd_stream, "TOPK_SWEEP_VARIANT", variant)
+        outs[variant] = hpd_stream.hpd_stream_fused_fwd(
+            h, w, b, counts, K, interpret=True
+        )
+    for a, c in zip(outs["argmax"], outs["colfold"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
