@@ -388,8 +388,13 @@ def fused_supports(t: int, k: int, hd: int) -> bool:
 #               ms/batch at the scaled tail shape — ~4-5x the elementwise
 #               cost of the same data (evidence/sweep_probe.json); the
 #               per-(R,) lane-axis argmax/max trees are the pathology.
-# Env-overridable for A/B probes (TOPK_SWEEP_VARIANT=argmax|colfold).
-TOPK_SWEEP_VARIANT = os.environ.get("TOPK_SWEEP_VARIANT", "colfold")
+# Env-overridable for A/B probes (TOPK_SWEEP_VARIANT=argmax|colfold|auto).
+# "auto" (default) picks colfold except at exact-fp32 'highest', where the
+# sweep hides behind the slow native-fp32 dots and colfold's candidate
+# scratch costs ~1% (A/B on v5e, hw_r5_queue.log 2026-08-20: 'highest'
+# colfold 273.4K vs argmax 275.7K px/s; 'default' colfold 569.4K vs argmax
+# 470.3K px/s — +21% where the bf16 dots expose the sweep).
+TOPK_SWEEP_VARIANT = os.environ.get("TOPK_SWEEP_VARIANT", "auto")
 # candidate scratch cap for colfold: nt*k*128 lanes of f32+i32 per block row
 _COLFOLD_MAX_CAND_LANES = 8192
 
@@ -573,8 +578,9 @@ def hpd_stream_fused_fwd(
     u, hd = h.shape
     t = w.shape[1]
     l = counts.shape[0]
-    colfold = (
-        TOPK_SWEEP_VARIANT == "colfold" and _colfold_supported(t, k)
+    colfold = _colfold_supported(t, k) and (
+        TOPK_SWEEP_VARIANT == "colfold"
+        or (TOPK_SWEEP_VARIANT == "auto" and precision != "highest")
     )
     block = _fused_rows(t)
     h_pad = _pad_rows_2d(h, block)
