@@ -283,3 +283,25 @@ def test_colfold_sweep_bitwise_matches_argmax(rng, monkeypatch):
         )
     for a, c in zip(outs["argmax"], outs["colfold"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_auto_sweep_policy_gates_on_precision(rng, monkeypatch):
+    """TOPK_SWEEP_VARIANT='auto' must pick colfold at bf16 precisions and
+    argmax at exact fp32 (A/B-measured policy, hw_r5_queue.log 2026-08-20:
+    +21% at 'default', -1% at 'highest'). Pinned by checking the variants
+    still agree bitwise when auto flips between them."""
+    h, w, b, counts = _setup(rng)
+    monkeypatch.setattr(hpd_stream, "TOPK_SWEEP_VARIANT", "auto")
+    # 'default' (auto->colfold) vs forced argmax: same outputs either way
+    out_auto = hpd_stream.hpd_stream_fused_fwd(
+        h, w, b, counts, K, precision="default", interpret=True
+    )
+    monkeypatch.setattr(hpd_stream, "TOPK_SWEEP_VARIANT", "argmax")
+    out_forced = hpd_stream.hpd_stream_fused_fwd(
+        h, w, b, counts, K, precision="default", interpret=True
+    )
+    for a, c in zip(out_auto, out_forced):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    # gate arithmetic: colfold scratch only fits when nt*k*128 is bounded
+    assert hpd_stream._colfold_supported(2 ** 14, 4)
+    assert not hpd_stream._colfold_supported(2 ** 14, 16)
