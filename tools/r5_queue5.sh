@@ -19,8 +19,12 @@ run() {
 waitpid=${1:-}
 if [ -n "$waitpid" ]; then
   while kill -0 "$waitpid" 2>/dev/null; do sleep 20; done
-  echo "=== seed123 (pid $waitpid) finished ($(date -u +%FT%TZ)) ===" >> "$log"
+  echo "=== seed42 (pid $waitpid) finished ($(date -u +%FT%TZ)) ===" >> "$log"
 fi
+bash tools/r5_harvest.sh >> "$log" 2>&1 || true
+
+# seed 123 (queue4's loop was cut when its shell was replaced by this stage)
+run env TOPK_SWEEP_VARIANT=argmax python tools/run_cold.py 5000 123 --scaled --encoding_lr=0.01 --no_hist
 bash tools/r5_harvest.sh >> "$log" 2>&1 || true
 
 # macaw generalization at the scaled recipe ('default' precision + colfold)
