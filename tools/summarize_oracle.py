@@ -117,6 +117,29 @@ def main(budget=450):
         for seed, best in tqdm_bests(logpath, budget):
             ref.setdefault(seed, best)
 
+    # Rebuild-side fallback when per-epoch histories are gone (runs/ is
+    # wiped between sessions): the campaign logs keep one summary JSON line
+    # per cold run with the exact best at its epoch budget.
+    rebuild_summary = {}
+    for logname in ("hw_r5_campaign.log", "hw_r5_queue.log"):
+        p = os.path.join(REPO, "evidence", logname)
+        if not os.path.exists(p):
+            continue
+        for line in open(p, errors="replace"):
+            line = line.strip()
+            if not line.startswith('{"image"'):
+                continue
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if (
+                row.get("image") == "strawberry.jpeg"
+                and not row.get("scaled")
+                and row.get("epochs") == budget
+            ):
+                rebuild_summary.setdefault(row["seed"], row["best_psnr"])
+
     rows = []
     for seed, rbest in sorted(ref.items()):
         obest = None
@@ -132,6 +155,8 @@ def main(budget=450):
                 obest = None
             if obest is not None:
                 break
+        if obest is None and seed in rebuild_summary:
+            obest = rebuild_summary[seed]
         rows.append({"seed": seed, "reference": round(rbest, 3),
                      "rebuild": round(obest, 3) if obest is not None else None})
         print(json.dumps(rows[-1]))
